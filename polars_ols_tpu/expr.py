@@ -1,0 +1,510 @@
+"""Lazy expression AST and evaluator.
+
+This is the TPU build's replacement for reference layers L5/L4 and the slice
+of the polars engine (L3) the plugin relies on: named column expressions,
+elementwise arithmetic with null propagation, wildcard expansion, `.over()`
+window context, and the least-squares "plugin" nodes which dispatch into the
+batched JAX engine (engine/fit.py).
+
+Unlike the reference — where expressions are built by polars and the solver
+is an FFI callback invoked once per group (README:19) — here the whole
+expression, including the grouped solve, is evaluated as one batched JAX
+program over a [num_groups, ...] layout.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import CONFIG  # noqa: F401
+import jax.numpy as jnp
+
+from .series import ObjectSeries, Series, StructSeries
+
+ExprOrStr = Union["Expr", str]
+
+
+# --------------------------------------------------------------------------- #
+# AST
+# --------------------------------------------------------------------------- #
+class Expr:
+    """Base class for all expression nodes."""
+
+    def _binop(self, other, op, reflected=False):
+        other = _lit_or_expr(other)
+        return BinExpr(op, other, self) if reflected else BinExpr(op, self, other)
+
+    def __add__(self, other):
+        return self._binop(other, "add")
+
+    def __radd__(self, other):
+        return self._binop(other, "add", True)
+
+    def __sub__(self, other):
+        return self._binop(other, "sub")
+
+    def __rsub__(self, other):
+        return self._binop(other, "sub", True)
+
+    def __mul__(self, other):
+        return self._binop(other, "mul")
+
+    def __rmul__(self, other):
+        return self._binop(other, "mul", True)
+
+    def __truediv__(self, other):
+        return self._binop(other, "div")
+
+    def __rtruediv__(self, other):
+        return self._binop(other, "div", True)
+
+    def __neg__(self):
+        return UnaryExpr("neg", self)
+
+    def add(self, other):
+        return self.__add__(other)
+
+    def sub(self, other):
+        return self.__sub__(other)
+
+    def mul(self, other):
+        return self.__mul__(other)
+
+    def sqrt(self):
+        return UnaryExpr("sqrt", self)
+
+    def abs(self):
+        return UnaryExpr("abs", self)
+
+    def alias(self, name: str) -> "Expr":
+        return AliasExpr(self, name)
+
+    def fill_null(self, value: float) -> "Expr":
+        return FillNullExpr(self, value)
+
+    def fill_nan(self, value) -> "Expr":
+        return FillNanExpr(self, value)
+
+    def is_null(self) -> "Expr":
+        return UnaryExpr("is_null", self)
+
+    def is_not_null(self) -> "Expr":
+        return UnaryExpr("is_not_null", self)
+
+    def forward_fill(self) -> "Expr":
+        return UnaryExpr("forward_fill", self)
+
+    def over(self, *keys: ExprOrStr) -> "Expr":
+        return OverExpr(self, [k if isinstance(k, str) else k.meta.output_name for k in keys])
+
+    # -- metadata ---------------------------------------------------------- #
+    @property
+    def meta(self) -> "_ExprMeta":
+        return _ExprMeta(self)
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return None
+
+    # -- namespace --------------------------------------------------------- #
+    @property
+    def least_squares(self):
+        from .namespace import LeastSquares
+
+        return LeastSquares(self)
+
+    # -- wildcard expansion ------------------------------------------------ #
+    def expand(self, df) -> List["Expr"]:
+        """Expand wildcard/regex column selectors against a frame's schema.
+
+        Mirrors polars' ``input_wildcard_expansion`` used by the reference
+        plugin registration (polars_ols/least_squares.py:226-233).
+        """
+        return [self]
+
+    # -- evaluation --------------------------------------------------------- #
+    def evaluate(self, df, groups: Optional[np.ndarray] = None):
+        raise NotImplementedError
+
+
+class _ExprMeta:
+    def __init__(self, expr: Expr):
+        self._expr = expr
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self._expr.output_name
+
+
+class ColExpr(Expr):
+    """Column reference. Supports exact names, ``^regex$`` patterns and the
+    prefix/suffix selectors from :mod:`polars_ols_tpu.selectors`."""
+
+    def __init__(self, name: str, matcher: Optional[str] = None, pattern: Optional[str] = None):
+        self.name = name
+        self.matcher = matcher  # None | "regex" | "starts_with" | "all"
+        self.pattern = pattern
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return None if self.matcher else self.name
+
+    def expand(self, df) -> List[Expr]:
+        if self.matcher is None:
+            return [self]
+        names = df.columns
+        if self.matcher == "regex":
+            rx = re.compile(self.pattern)
+            return [ColExpr(n) for n in names if rx.search(n)]
+        if self.matcher == "starts_with":
+            return [ColExpr(n) for n in names if n.startswith(self.pattern)]
+        if self.matcher == "all":
+            return [ColExpr(n) for n in names]
+        raise ValueError(self.matcher)
+
+    def evaluate(self, df, groups=None):
+        return df.get_column(self.name)
+
+
+class LitExpr(Expr):
+    def __init__(self, value):
+        self.value = value
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return "literal"
+
+    def evaluate(self, df, groups=None):
+        v = self.value
+        if isinstance(v, (Series, StructSeries, ObjectSeries)):
+            return v
+        if np.isscalar(v) or v is None:
+            if v is None:
+                return Series("literal", np.zeros(df.height), np.zeros(df.height, dtype=bool))
+            return Series("literal", np.full(df.height, float(v)))
+        arr = np.asarray(v)
+        if arr.ndim == 0:
+            return Series("literal", np.full(df.height, float(arr)))
+        assert arr.shape[0] == df.height, "literal array length mismatch"
+        return Series("literal", arr)
+
+    def flatten(self):
+        return self
+
+
+class AliasExpr(Expr):
+    def __init__(self, inner: Expr, name: str):
+        self.inner = inner
+        self.name = name
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self.name
+
+    def expand(self, df):
+        return [self]
+
+    def evaluate(self, df, groups=None):
+        return self.inner.evaluate(df, groups).alias(self.name)
+
+
+class BinExpr(Expr):
+    def __init__(self, op: str, left: Expr, right: Expr):
+        self.op = op
+        self.left = left
+        self.right = right
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self.left.output_name or self.right.output_name
+
+    def evaluate(self, df, groups=None):
+        l = self.left.evaluate(df, groups)
+        r = self.right.evaluate(df, groups)
+        return _binop_series(self.op, l, r)
+
+
+class UnaryExpr(Expr):
+    def __init__(self, op: str, inner: Expr):
+        self.op = op
+        self.inner = inner
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self.inner.output_name
+
+    def evaluate(self, df, groups=None):
+        s = self.inner.evaluate(df, groups)
+        if self.op == "forward_fill":
+            return s.forward_fill()
+        if self.op == "is_null":
+            return s.is_null()
+        if self.op == "is_not_null":
+            return s.is_not_null()
+        vals = jnp.asarray(s.values, dtype=jnp.float64)
+        if self.op == "neg":
+            out = -vals
+        elif self.op == "sqrt":
+            out = jnp.sqrt(vals)
+        elif self.op == "abs":
+            out = jnp.abs(vals)
+        else:  # pragma: no cover
+            raise ValueError(self.op)
+        return Series(s.name, out, s.validity)
+
+
+class FillNullExpr(Expr):
+    def __init__(self, inner: Expr, value: float):
+        self.inner = inner
+        self.value = value
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self.inner.output_name
+
+    def evaluate(self, df, groups=None):
+        return self.inner.evaluate(df, groups).fill_null(self.value)
+
+
+class FillNanExpr(Expr):
+    """``fill_nan(None)`` converts NaN values to nulls — the post-step the
+    reference applies to rolling predictions (polars_ols/least_squares.py:
+    407-409)."""
+
+    def __init__(self, inner: Expr, value):
+        self.inner = inner
+        self.value = value
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self.inner.output_name
+
+    def evaluate(self, df, groups=None):
+        s = self.inner.evaluate(df, groups)
+        vals = jnp.asarray(s.values, dtype=jnp.float64)
+        nan = jnp.isnan(vals)
+        if self.value is None:
+            validity = s.valid_mask() & ~nan
+            return Series(s.name, jnp.where(nan, 0.0, vals), validity)
+        return Series(s.name, jnp.where(nan, self.value, vals), s.validity)
+
+
+class StructExpr(Expr):
+    def __init__(self, fields: Dict[str, Expr], name: str = "struct"):
+        self.fields = fields
+        self.name = name
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self.name
+
+    def evaluate(self, df, groups=None):
+        cols = {k: v.evaluate(df, groups) for k, v in self.fields.items()}
+        n = max(len(c) for c in cols.values())
+        vals = jnp.stack(
+            [jnp.asarray(c.values, dtype=jnp.float64) for c in cols.values()], axis=1
+        )
+        validity = jnp.stack([c.valid_mask() for c in cols.values()], axis=1)
+        return StructSeries(self.name, list(cols.keys()), vals, validity)
+
+
+class OverExpr(Expr):
+    """Window context: evaluates the wrapped expression with per-row group
+    ids derived from the key columns. This replaces the reference's reliance
+    on polars' per-group plugin dispatch (SURVEY §2.3): instead of invoking a
+    solver once per group, group ids flow into the batched engine."""
+
+    def __init__(self, inner: Expr, keys: List[str]):
+        self.inner = inner
+        self.keys = keys
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self.inner.output_name
+
+    def evaluate(self, df, groups=None):
+        from .engine.groups import factorize_columns
+
+        gids = factorize_columns([df.get_column(k) for k in self.keys])
+        return self.inner.evaluate(df, gids)
+
+
+class LeastSquaresExpr(Expr):
+    """The 'plugin call' node: equivalent of the reference's 8 #[polars_expr]
+    entry points (src/expressions.rs:390-741), dispatching into the batched
+    TPU engine."""
+
+    def __init__(
+        self,
+        function_name: str,
+        target: Expr,
+        features: List[Expr],
+        kwargs,
+        mode: str,
+        multi_target: bool = False,
+    ):
+        self.function_name = function_name
+        self.target = target
+        self.features = features
+        self.kwargs = kwargs
+        self.mode = mode
+        self.multi_target = multi_target
+
+    @property
+    def output_name(self) -> Optional[str]:
+        if self.mode in ("coefficients", "statistics"):
+            return self.mode
+        return self.target.output_name
+
+    def evaluate(self, df, groups=None):
+        from .engine.fit import evaluate_least_squares
+
+        feats: List[Expr] = []
+        for f in self.features:
+            feats.extend(f.expand(df))
+        target = self.target.evaluate(df, groups)
+        feat_series = [f.evaluate(df, groups) for f in feats]
+        return evaluate_least_squares(
+            self.function_name,
+            target,
+            feat_series,
+            self.kwargs,
+            self.mode,
+            groups,
+            multi_target=self.multi_target,
+        )
+
+
+class PredictExpr(Expr):
+    """Row-aligned coefficient-struct dot features — the reference's
+    `predict` plugin (src/expressions.rs:706-741)."""
+
+    def __init__(self, coefficients: Expr, features: List[Expr], null_policy: str, name: str):
+        self.coefficients = coefficients
+        self.features = features
+        self.null_policy = null_policy
+        self.name = name
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self.name
+
+    def evaluate(self, df, groups=None):
+        from .engine.fit import evaluate_predict
+
+        feats: List[Expr] = []
+        for f in self.features:
+            feats.extend(f.expand(df))
+        coef = self.coefficients.evaluate(df, groups)
+        feat_series = [f.evaluate(df, groups) for f in feats]
+        return evaluate_predict(coef, feat_series, self.null_policy, self.name)
+
+
+# --------------------------------------------------------------------------- #
+# helpers
+# --------------------------------------------------------------------------- #
+def _lit_or_expr(v) -> Expr:
+    if isinstance(v, Expr):
+        return v
+    return LitExpr(v)
+
+
+def _binop_series(op: str, l, r):
+    # struct arithmetic: field-wise (multi-target residuals = target struct
+    # minus predictions struct; WLS unscale = struct * series broadcast)
+    if isinstance(l, StructSeries) or isinstance(r, StructSeries):
+        return _binop_struct(op, l, r)
+    n = max(len(l), len(r))
+
+    def as_vals(s):
+        v = jnp.asarray(s.values, dtype=jnp.float64)
+        if len(s) == 1 and n > 1:
+            v = jnp.broadcast_to(v, (n,))
+        return v
+
+    def as_valid(s):
+        m = s.valid_mask()
+        if len(s) == 1 and n > 1:
+            m = jnp.broadcast_to(m, (n,))
+        return m
+
+    lv, rv = as_vals(l), as_vals(r)
+    validity = as_valid(l) & as_valid(r)
+    if op == "add":
+        out = lv + rv
+    elif op == "sub":
+        out = lv - rv
+    elif op == "mul":
+        out = lv * rv
+    elif op == "div":
+        out = lv / rv
+    else:  # pragma: no cover
+        raise ValueError(op)
+    if bool(validity.all()):
+        validity = None
+    name = l.name if l.name != "literal" else r.name
+    return Series(name, out, validity)
+
+
+def _binop_struct(op: str, l, r):
+    if isinstance(l, StructSeries) and isinstance(r, StructSeries):
+        assert l.field_names == r.field_names or len(l.field_names) == len(r.field_names)
+        lv, rv = l.values, r.values
+        lm = l.validity if l.validity is not None else jnp.ones_like(lv, dtype=bool)
+        rm = r.validity if r.validity is not None else jnp.ones_like(rv, dtype=bool)
+        names = l.field_names
+        name = l.name
+    elif isinstance(l, StructSeries):
+        lv = l.values
+        rv = jnp.asarray(r.values, dtype=jnp.float64)[:, None]
+        lm = l.validity if l.validity is not None else jnp.ones_like(lv, dtype=bool)
+        rm = r.valid_mask()[:, None]
+        names, name = l.field_names, l.name
+    else:
+        lv = jnp.asarray(l.values, dtype=jnp.float64)[:, None]
+        rv = r.values
+        lm = l.valid_mask()[:, None]
+        rm = r.validity if r.validity is not None else jnp.ones_like(rv, dtype=bool)
+        names, name = r.field_names, r.name
+    ops = {"add": lambda a, b: a + b, "sub": lambda a, b: a - b,
+           "mul": lambda a, b: a * b, "div": lambda a, b: a / b}
+    return StructSeries(name, names, ops[op](lv, rv), lm & rm)
+
+
+def col(name: str) -> ColExpr:
+    """Column selector. ``col("^x.*$")`` expands by regex like polars."""
+    if name == "*":
+        return ColExpr(name, matcher="all")
+    if name.startswith("^") and name.endswith("$"):
+        return ColExpr(name, matcher="regex", pattern=name)
+    return ColExpr(name)
+
+
+def lit(value) -> LitExpr:
+    return LitExpr(value)
+
+
+def struct(*args, **named) -> StructExpr:
+    fields: Dict[str, Expr] = {}
+    for a in args:
+        if isinstance(a, dict):
+            for k, v in a.items():
+                fields[k] = _lit_or_expr(v)
+        else:
+            e = _lit_or_expr(a)
+            fields[e.output_name or f"field_{len(fields)}"] = e
+    for k, v in named.items():
+        fields[k] = _lit_or_expr(v).alias(k) if isinstance(v, Expr) else _lit_or_expr(v)
+    return StructExpr(fields)
+
+
+def parse_into_expr(expr: ExprOrStr) -> Expr:
+    """Mirror of the reference's utils.parse_into_expr (utils.py:21-58)."""
+    if isinstance(expr, Expr):
+        return expr
+    if isinstance(expr, str):
+        return col(expr)
+    return lit(expr)

@@ -1,0 +1,415 @@
+"""Eager columnar DataFrame over JAX device arrays.
+
+This is the substrate replacing the slice of the polars engine (reference
+layer L3, SURVEY §1) that polars_ols depends on: column storage with
+validity masks, expression evaluation with scalar broadcasting, group_by /
+over dispatch, struct columns and unnesting. It is intentionally minimal —
+just enough surface for the least-squares workload — but the compute path
+under it is fully batched JAX/XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import CONFIG  # noqa: F401
+import jax.numpy as jnp
+
+from .expr import Expr, col, parse_into_expr
+from .series import AnySeries, ObjectSeries, Series, StructSeries
+
+
+def _to_series(name: str, data) -> AnySeries:
+    if isinstance(data, (Series, StructSeries, ObjectSeries)):
+        return data.alias(name)
+    arr = data
+    if isinstance(arr, np.ndarray) and arr.dtype == object:
+        return ObjectSeries(name, list(arr))
+    if isinstance(arr, (list, tuple)) and len(arr) and isinstance(arr[0], str):
+        return ObjectSeries(name, list(arr))
+    return Series(name, arr)
+
+
+class DataFrame:
+    def __init__(self, data: Optional[Dict[str, object]] = None, schema: Optional[List[str]] = None):
+        self._columns: Dict[str, AnySeries] = {}
+        if data is None:
+            return
+        if isinstance(data, dict):
+            for k, v in data.items():
+                self._columns[k] = _to_series(k, v)
+        elif isinstance(data, np.ndarray):
+            assert schema is not None, "2-D data requires a schema"
+            assert data.ndim == 2 and data.shape[1] == len(schema)
+            for j, name in enumerate(schema):
+                self._columns[name] = Series(name, data[:, j])
+        elif isinstance(data, list) and data and isinstance(data[0], (Series, StructSeries, ObjectSeries)):
+            for s in data:
+                self._columns[s.name] = s
+        else:
+            raise TypeError(f"unsupported DataFrame source: {type(data)}")
+        heights = {len(c) for c in self._columns.values()}
+        assert len(heights) <= 1, f"column heights differ: {heights}"
+
+    # ---------------------------------------------------------------- #
+    @classmethod
+    def _from_columns(cls, cols: Sequence[AnySeries]) -> "DataFrame":
+        df = cls()
+        for c in cols:
+            df._columns[c.name] = c
+        return df
+
+    @property
+    def columns(self) -> List[str]:
+        return list(self._columns.keys())
+
+    @property
+    def height(self) -> int:
+        if not self._columns:
+            return 0
+        return len(next(iter(self._columns.values())))
+
+    @property
+    def width(self) -> int:
+        return len(self._columns)
+
+    @property
+    def shape(self):
+        return (self.height, self.width)
+
+    def __len__(self) -> int:
+        return self.height
+
+    def get_column(self, name: str) -> AnySeries:
+        if name not in self._columns:
+            raise KeyError(f"column {name!r} not found; available: {self.columns}")
+        return self._columns[name]
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.get_column(key)
+        if isinstance(key, (list, tuple)):
+            return self.select(*[col(k) for k in key])
+        if isinstance(key, int):
+            idx = np.asarray([key if key >= 0 else self.height + key])
+            return DataFrame._from_columns([c.gather(idx) for c in self._columns.values()])
+        if isinstance(key, slice):
+            idx = np.arange(self.height)[key]
+            return DataFrame._from_columns([c.gather(idx) for c in self._columns.values()])
+        raise TypeError(type(key))
+
+    # ---------------------------------------------------------------- #
+    def _evaluate_exprs(self, exprs, named) -> List[AnySeries]:
+        all_exprs: List[Expr] = []
+        for e in exprs:
+            e = parse_into_expr(e)
+            all_exprs.extend(e.expand(self))
+        for name, e in named.items():
+            all_exprs.append(parse_into_expr(e).alias(name))
+        return [e.evaluate(self) for e in all_exprs]
+
+    def select(self, *exprs, **named) -> "DataFrame":
+        results = self._evaluate_exprs(exprs, named)
+        if not results:
+            return DataFrame()
+        heights = {len(r) for r in results}
+        if len(heights) > 1:
+            # mixed scalar/full-length: broadcast scalars (polars semantics,
+            # exercised by reference tests/test_ols.py:404-433)
+            n = max(heights)
+            results = [_broadcast(r, n) for r in results]
+        return DataFrame._from_columns(results)
+
+    def with_columns(self, *exprs, **named) -> "DataFrame":
+        results = self._evaluate_exprs(exprs, named)
+        out = dict(self._columns)
+        for r in results:
+            out[r.name] = _broadcast(r, self.height)
+        return DataFrame._from_columns(list(out.values()))
+
+    def with_row_index(self, name: str = "index") -> "DataFrame":
+        idx = Series(name, np.arange(self.height, dtype=np.float64))
+        return DataFrame._from_columns([idx, *self._columns.values()])
+
+    def drop(self, *names: str) -> "DataFrame":
+        drop = set()
+        for n in names:
+            drop.update(n if isinstance(n, (list, tuple)) else [n])
+        return DataFrame._from_columns(
+            [c for k, c in self._columns.items() if k not in drop]
+        )
+
+    def rename(self, mapping: Dict[str, str]) -> "DataFrame":
+        return DataFrame._from_columns(
+            [c.alias(mapping.get(k, k)) for k, c in self._columns.items()]
+        )
+
+    # ---------------------------------------------------------------- #
+    def filter(self, mask) -> "DataFrame":
+        if isinstance(mask, Expr):
+            s = mask.evaluate(self)
+            m = np.asarray(s.values).astype(bool) & np.asarray(s.valid_mask())
+        else:
+            m = np.asarray(mask, dtype=bool)
+        return DataFrame._from_columns([c.filter(m) for c in self._columns.values()])
+
+    def fill_null(self, value: float) -> "DataFrame":
+        cols = []
+        for c in self._columns.values():
+            cols.append(c.fill_null(value) if isinstance(c, Series) else c)
+        return DataFrame._from_columns(cols)
+
+    def fill_nan(self, value) -> "DataFrame":
+        cols = []
+        for c in self._columns.values():
+            if isinstance(c, Series) and c.is_float:
+                vals = jnp.asarray(c.values)
+                nan = jnp.isnan(vals)
+                if value is None:
+                    cols.append(Series(c.name, jnp.where(nan, 0.0, vals), c.valid_mask() & ~nan))
+                else:
+                    cols.append(Series(c.name, jnp.where(nan, value, vals), c.validity))
+            else:
+                cols.append(c)
+        return DataFrame._from_columns(cols)
+
+    def drop_nulls(self, subset: Optional[List[str]] = None) -> "DataFrame":
+        names = subset or self.columns
+        mask = np.ones(self.height, dtype=bool)
+        for n in names:
+            c = self.get_column(n)
+            if isinstance(c, (Series, StructSeries)):
+                mask &= np.asarray(c.valid_mask())
+        return self.filter(mask)
+
+    # ---------------------------------------------------------------- #
+    def unnest(self, *names: str) -> "DataFrame":
+        out: List[AnySeries] = []
+        for k, c in self._columns.items():
+            if k in names:
+                if isinstance(c, StructSeries):
+                    out.extend(c.fields())
+                elif isinstance(c, ObjectSeries) and c.values and isinstance(c.values[0], dict):
+                    keys = c.values[0].keys()
+                    for fk in keys:
+                        vals = [row[fk] for row in c.values]
+                        if vals and isinstance(vals[0], (list, np.ndarray)):
+                            out.append(ObjectSeries(fk, vals))
+                        elif vals and isinstance(vals[0], str):
+                            out.append(ObjectSeries(fk, vals))
+                        else:
+                            out.append(Series(fk, np.asarray(vals, dtype=np.float64)))
+                else:
+                    raise TypeError(f"column {k!r} is not a struct")
+            else:
+                out.append(c)
+        return DataFrame._from_columns(out)
+
+    def explode(self, names: List[str]) -> "DataFrame":
+        names = list(names)
+        first = self.get_column(names[0])
+        lengths = [len(v) for v in first.values] if isinstance(first, ObjectSeries) else None
+        assert lengths is not None, "explode expects list-valued object columns"
+        out: List[AnySeries] = []
+        row_rep = np.repeat(np.arange(self.height), lengths)
+        for k, c in self._columns.items():
+            if k in names:
+                flat: list = []
+                for v in c.values:
+                    flat.extend(list(v))
+                if flat and isinstance(flat[0], str):
+                    out.append(ObjectSeries(k, flat))
+                else:
+                    out.append(Series(k, np.asarray(flat, dtype=np.float64)))
+            else:
+                out.append(c.gather(row_rep))
+        return DataFrame._from_columns(out)
+
+    # ---------------------------------------------------------------- #
+    def _key_array(self, keys: List[str]) -> np.ndarray:
+        cols = []
+        for k in keys:
+            c = self.get_column(k)
+            v = c.to_numpy()
+            cols.append(v)
+        if len(cols) == 1:
+            return cols[0]
+        return np.rec.fromarrays(cols)
+
+    def group_by(self, *keys: str) -> "GroupBy":
+        keys = [k if isinstance(k, str) else k.meta.output_name for k in keys]
+        return GroupBy(self, list(keys))
+
+    def partition_by(self, *keys: str) -> List["DataFrame"]:
+        ks = self._key_array(list(keys))
+        out = []
+        for v in np.unique(ks):
+            out.append(self.filter(ks == v))
+        return out
+
+    def unique(self) -> "DataFrame":
+        arr = self.to_numpy()
+        _, idx = np.unique(
+            np.ascontiguousarray(arr).view([("", arr.dtype)] * arr.shape[1]).ravel(),
+            return_index=True,
+        )
+        return DataFrame._from_columns(
+            [c.gather(np.sort(idx)) for c in self._columns.values()]
+        )
+
+    def sort(self, by: Union[str, List[str]]) -> "DataFrame":
+        by = [by] if isinstance(by, str) else by
+        ks = self._key_array(by)
+        order = np.argsort(ks, kind="stable")
+        return DataFrame._from_columns([c.gather(order) for c in self._columns.values()])
+
+    def join(self, other: "DataFrame", on: Union[str, List[str]], how: str = "inner") -> "DataFrame":
+        on = [on] if isinstance(on, str) else on
+        lk, rk = self._key_array(on), other._key_array(on)
+        r_index: Dict[object, List[int]] = {}
+        for i, v in enumerate(rk.tolist()):
+            r_index.setdefault(v, []).append(i)
+        li, ri = [], []
+        for i, v in enumerate(lk.tolist()):
+            for j in r_index.get(v, []):
+                li.append(i)
+                ri.append(j)
+        li, ri = np.asarray(li, dtype=int), np.asarray(ri, dtype=int)
+        cols = [c.gather(li) for c in self._columns.values()]
+        for k, c in other._columns.items():
+            if k in self._columns:
+                if k in on:
+                    continue
+                c = c.alias(k + "_right")
+            cols.append(c.gather(ri))
+        return DataFrame._from_columns(cols)
+
+    # ---------------------------------------------------------------- #
+    def to_numpy(self) -> np.ndarray:
+        arrs = []
+        for c in self._columns.values():
+            a = c.to_numpy()
+            arrs.append(a[:, None] if a.ndim == 1 else a)
+        if any(a.dtype == object for a in arrs):
+            arrs = [a.astype(object) for a in arrs]
+        else:
+            arrs = [a.astype(np.float64) for a in arrs]
+        return np.concatenate(arrs, axis=1)
+
+    def to_dict(self, as_series: bool = True):
+        if as_series:
+            return dict(self._columns)
+        return {k: c.to_numpy() for k, c in self._columns.items()}
+
+    def to_pandas(self):
+        import pandas as pd
+
+        return pd.DataFrame({k: list(c.to_numpy()) for k, c in self._columns.items()})
+
+    def lazy(self) -> "LazyFrame":
+        return LazyFrame(self)
+
+    def rechunk(self) -> "DataFrame":
+        return self
+
+    def item(self):
+        assert self.shape == (1, 1)
+        return next(iter(self._columns.values())).item()
+
+    def count(self) -> "DataFrame":
+        return DataFrame(
+            {k: np.asarray([float(c.count() if isinstance(c, Series) else len(c))])
+             for k, c in self._columns.items()}
+        )
+
+    def max_horizontal(self) -> Series:
+        arr = self.to_numpy().astype(np.float64)
+        return Series("max", arr.max(axis=1))
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"DataFrame(shape={self.shape}, columns={self.columns})"
+
+
+def _broadcast(s: AnySeries, n: int) -> AnySeries:
+    if len(s) == n:
+        return s
+    assert len(s) == 1, f"cannot broadcast column {s.name!r} of height {len(s)} to {n}"
+    idx = np.zeros(n, dtype=int)
+    return s.gather(idx)
+
+
+class GroupBy:
+    def __init__(self, df: DataFrame, keys: List[str]):
+        self._df = df
+        self._keys = keys
+
+    def _group_indices(self):
+        ks = self._df._key_array(self._keys)
+        uniq, inv = np.unique(ks, return_inverse=True)
+        return uniq, inv
+
+    def last(self) -> DataFrame:
+        uniq, inv = self._group_indices()
+        last_idx = np.zeros(len(uniq), dtype=int)
+        for i, g in enumerate(inv):
+            last_idx[g] = i
+        return DataFrame._from_columns(
+            [c.gather(last_idx) for c in self._df._columns.values()]
+        )
+
+    def first(self) -> DataFrame:
+        uniq, inv = self._group_indices()
+        n = len(uniq)
+        first_idx = np.full(n, -1, dtype=int)
+        for i in range(len(inv) - 1, -1, -1):
+            first_idx[inv[i]] = i
+        return DataFrame._from_columns(
+            [c.gather(first_idx) for c in self._df._columns.values()]
+        )
+
+
+class LazyFrame:
+    """Thin lazy shim for API familiarity: operations are applied eagerly but
+    the chained `.lazy()....collect()` style of the reference tests works."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def collect(self) -> DataFrame:
+        return self._df
+
+    def __getattr__(self, name):
+        attr = getattr(self._df, name)
+        if callable(attr):
+            def wrapper(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                if isinstance(out, DataFrame):
+                    return LazyFrame(out)
+                return out
+
+            return wrapper
+        return attr
+
+
+def concat(frames: List[DataFrame], how: str = "vertical", rechunk: bool = True) -> DataFrame:
+    assert how == "vertical"
+    names = frames[0].columns
+    cols: List[AnySeries] = []
+    for name in names:
+        parts = [f.get_column(name) for f in frames]
+        if isinstance(parts[0], Series):
+            vals = np.concatenate([p.to_numpy() for p in parts])
+            cols.append(Series(name, vals, ~np.isnan(vals) if np.isnan(vals).any() else None))
+        elif isinstance(parts[0], StructSeries):
+            vals = jnp.concatenate([p.values for p in parts], axis=0)
+            valid = jnp.concatenate([p.validity if p.validity is not None
+                                     else jnp.ones_like(p.values, dtype=bool) for p in parts], axis=0)
+            cols.append(StructSeries(name, parts[0].field_names, vals, valid))
+        else:
+            items: list = []
+            for p in parts:
+                items.extend(p.values)
+            cols.append(ObjectSeries(name, items))
+    return DataFrame._from_columns(cols)

@@ -1,0 +1,103 @@
+"""Cyclic coordinate descent for Lasso / ElasticNet / NNLS, batched over groups.
+
+Sweep-for-sweep equivalent of the reference's `solve_elastic_net`
+(src/least_squares.rs:386-492): the objective is
+``1/(2n)||y - Xw||^2 + alpha*l1*||w||_1 + 0.5*alpha*(1-l1)*||w||^2``
+(alpha internally scaled by the number of *valid* samples, :419), updates are
+cyclic with naive residual add-back/subtract (:423-434) and convergence is
+``||w - w_old||_2 < tol`` (:436-445).
+
+TPU formulation: a `lax.while_loop` over sweeps containing a `lax.fori_loop`
+over coordinates, vmapped over the group axis. Excluded rows arrive zeroed so
+they contribute nothing to any inner product. The `cd_active_set` variant of
+the reference (:447-488) is an approximation that freezes |w_j| < tol
+coordinates; we run full cyclic CD for both (same fixed point, tighter
+accuracy) — the active-set method exists in the reference purely as a CPU
+optimisation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+F64 = jnp.float64
+
+
+def _soft_threshold(x: jnp.ndarray, alpha: float, positive: bool) -> jnp.ndarray:
+    """sign(x) * max(|x| - alpha, 0), clamped at 0 when positive
+    (src/least_squares.rs:373-379)."""
+    out = jnp.sign(x) * jnp.maximum(jnp.abs(x) - alpha, 0.0)
+    if positive:
+        out = jnp.maximum(out, 0.0)
+    return out
+
+
+def _cd_single(
+    Xt: jnp.ndarray,  # [K, R] transposed padded features (masked rows zeroed)
+    y: jnp.ndarray,  # [R]
+    n_valid: jnp.ndarray,  # scalar
+    alpha: float,
+    l1_ratio: float,
+    max_iter: int,
+    tol: float,
+    positive: bool,
+) -> jnp.ndarray:
+    k = Xt.shape[0]
+    a = alpha * jnp.maximum(n_valid, 1.0)  # alpha *= n_samples (:419)
+    a_l1 = a * l1_ratio
+    a_l2 = a * (1.0 - l1_ratio)
+    col_sq = jnp.sum(Xt * Xt, axis=1)  # [K] x_j^T x_j
+
+    def coord_body(j, carry):
+        w, r = carry
+        x_j = lax.dynamic_index_in_dim(Xt, j, keepdims=False)  # [R]
+        w_j = lax.dynamic_index_in_dim(w, j, keepdims=False)
+        r = r + x_j * w_j  # add back current contribution
+        rho = jnp.dot(x_j, r, preferred_element_type=F64)
+        denom = col_sq[j] + a_l2
+        w_j_new = _soft_threshold(rho, a_l1, positive) / jnp.where(denom > 0, denom, 1.0)
+        r = r - x_j * w_j_new
+        w = lax.dynamic_update_index_in_dim(w, w_j_new, j, axis=0)
+        return w, r
+
+    def sweep(state):
+        w, r, it, _ = state
+        w_new, r_new = lax.fori_loop(0, k, coord_body, (w, r))
+        delta = jnp.linalg.norm(w_new - w)
+        return w_new, r_new, it + 1, delta
+
+    def cond(state):
+        _, _, it, delta = state
+        return (it < max_iter) & (delta >= tol)
+
+    w0 = jnp.zeros(k, dtype=F64)
+    w, _, _, _ = lax.while_loop(cond, sweep, (w0, y, jnp.int32(0), jnp.asarray(jnp.inf, F64)))
+    return w
+
+
+@partial(jax.jit, static_argnames=("alpha", "l1_ratio", "max_iter", "tol", "positive"))
+def solve_elastic_net(
+    Xp: jnp.ndarray,  # [G, R, K]
+    yp: jnp.ndarray,  # [G, R]
+    n_valid: jnp.ndarray,  # [G]
+    alpha: float,
+    l1_ratio: float = 0.5,
+    max_iter: int = 1000,
+    tol: float = 1e-5,
+    positive: bool = False,
+) -> jnp.ndarray:
+    """Batched elastic-net fit -> coefficients [G, K]."""
+    Xt = jnp.swapaxes(Xp, -1, -2).astype(F64)
+    fn = partial(
+        _cd_single,
+        alpha=alpha,
+        l1_ratio=l1_ratio,
+        max_iter=max_iter,
+        tol=tol,
+        positive=positive,
+    )
+    return jax.vmap(fn)(Xt, yp.astype(F64), n_valid.astype(F64))

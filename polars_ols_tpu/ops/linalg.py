@@ -1,0 +1,185 @@
+"""Batched linear-algebra primitives with data-dependent fallbacks.
+
+TPU-first replacements for the reference's faer/LAPACK layer
+(src/least_squares.rs:20-371): everything is *batched* over a leading group
+axis and expressed so XLA can tile the matmuls onto the MXU. The reference's
+Cholesky -> SVD/LU/QR failure fallbacks (least_squares.rs:287-328) are
+reproduced data-dependently inside jit with `lax.cond` + `where` selects.
+
+All factorizations run in f64: this TPU backend emulates f64 at >10 Tflop/s
+for matmul, and batched cholesky/eigh/svd/qr are supported natively by XLA,
+so fp64 coefficient parity with numpy.linalg.lstsq is preserved end-to-end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+F64 = jnp.float64
+_EPS64 = float(jnp.finfo(jnp.float64).eps)
+
+
+# --------------------------------------------------------------------------- #
+# PSD solves (normal equations)
+# --------------------------------------------------------------------------- #
+def eigh_pinv_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float | None = None) -> jnp.ndarray:
+    """Pseudo-inverse solve of symmetric A via eigh, batched.
+
+    Robust fallback for singular normal equations: mirrors the reference's
+    graceful degradation (zero coefficients on empty/degenerate input,
+    src/expressions.rs:356-359) since eigh of a zero matrix yields a zero
+    pseudo-inverse.
+    """
+    w, v = jnp.linalg.eigh(A)
+    k = A.shape[-1]
+    cut = (rcond if rcond is not None else _EPS64 * k) * jnp.max(
+        jnp.abs(w), axis=-1, keepdims=True
+    )
+    w_inv = jnp.where(jnp.abs(w) > cut, 1.0 / jnp.where(w == 0, 1.0, w), 0.0)
+    # A^+ b = V diag(w_inv) V^T b   (b may be [..., K] or [..., K, M])
+    if b.ndim == A.ndim - 1:
+        vtb = jnp.einsum("...ij,...i->...j", v, b)
+        return jnp.einsum("...ij,...j->...i", v, w_inv * vtb)
+    vtb = jnp.einsum("...ij,...im->...jm", v, b)
+    return jnp.einsum("...ij,...jm->...im", v, w_inv[..., None] * vtb)
+
+
+def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky solve of PSD systems with eigh-pinv fallback.
+
+    Equivalent of the reference's `solve_normal_equations` (Cholesky default
+    with LU/SVD fallback on failure, src/least_squares.rs:277-337), made
+    branchless per batch element: lanes whose Cholesky produced non-finite
+    values take the eigh pseudo-solve result instead. The fallback pass only
+    runs (via lax.cond) when at least one lane failed.
+    """
+    L = jnp.linalg.cholesky(A)
+    ok = jnp.isfinite(L).all(axis=(-2, -1))
+    rhs = b[..., None] if b.ndim == A.ndim - 1 else b
+    sol = jax.scipy.linalg.cho_solve((L, True), jnp.where(ok[..., None, None], rhs, 0.0))
+    sol = jnp.where(jnp.isfinite(sol), sol, 0.0)
+
+    def with_fallback(_):
+        fb = eigh_pinv_solve(A, rhs)
+        return jnp.where(ok[..., None, None], sol, fb)
+
+    out = lax.cond(ok.all(), lambda _: sol, with_fallback, operand=None)
+    return out[..., 0] if b.ndim == A.ndim - 1 else out
+
+
+def solve_lu(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """The reference's LU path (src/least_squares.rs:264-273) solves the same
+    PSD normal-equation systems as the Cholesky path; this TPU backend's LU
+    custom-call is broken (compiler abort), so the LU method maps onto the
+    Cholesky-with-eigh-fallback kernel — identical solutions, same failure
+    semantics."""
+    return solve_psd(A, b)
+
+
+# --------------------------------------------------------------------------- #
+# SVD least squares (minimum norm, numpy-lstsq parity)
+# --------------------------------------------------------------------------- #
+def svd_lstsq(
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    alpha: float | jnp.ndarray = 0.0,
+    rcond: float | None = None,
+) -> jnp.ndarray:
+    """Minimum-norm (ridge-shrunk) least squares via SVD, batched.
+
+    Mirrors the reference's `solve_ridge_svd` (src/least_squares.rs:106-168):
+    singular values below ``rcond * sigma_max`` are cut (numpy lstsq default
+    ``rcond = eps * max(n, k)``, least_squares.rs:142-145) and the remaining
+    directions are shrunk by ``sigma / (sigma^2 + alpha)`` (plain pinv when
+    alpha == 0).
+
+    For tall problems the SVD is taken of the K x K triangular factor from a
+    QR of X — an MXU-friendly reduction that preserves singular values.
+
+    Args:
+        X: [..., N, K] (rows may be zero — masked rows contribute nothing).
+        y: [..., N] or [..., N, M].
+        alpha: scalar or [...] ridge strength.
+        rcond: cutoff ratio; None -> numpy lstsq default.
+    """
+    n, k = X.shape[-2], X.shape[-1]
+    squeeze = y.ndim == X.ndim - 1
+    Y = y[..., None] if squeeze else y
+
+    if n > k:
+        # QR reduction: svd(X) = (Q U_r) S V^T with R = U_r S V^T
+        Q, R = jnp.linalg.qr(X)
+        u_r, s, vt = jnp.linalg.svd(R, full_matrices=False)
+        uty = jnp.einsum(
+            "...ji,...jm->...im", u_r, jnp.einsum("...ni,...nm->...im", Q, Y)
+        )
+    else:
+        u, s, vt = jnp.linalg.svd(X, full_matrices=False)
+        uty = jnp.einsum("...ni,...nm->...im", u, Y)
+
+    if rcond is None:
+        rcond = _EPS64 * max(n, k)
+    cut = rcond * jnp.max(s, axis=-1, keepdims=True)
+    alpha = jnp.asarray(alpha, dtype=F64)
+    denom = s * s + alpha[..., None] if alpha.ndim else s * s + alpha
+    d = jnp.where(s > cut, s / jnp.where(denom == 0, 1.0, denom), 0.0)
+    beta = jnp.einsum("...ik,...im->...km", vt, d[..., None] * uty)
+    return beta[..., 0] if squeeze else beta
+
+
+# --------------------------------------------------------------------------- #
+# QR least squares with rank-deficiency handling
+# --------------------------------------------------------------------------- #
+def qr_lstsq(X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """QR least squares, batched, tolerant of rank deficiency.
+
+    The reference uses faer's column-pivoted QR (least_squares.rs:193-205)
+    which implicitly drops dependent columns. XLA's QR is unpivoted, so we
+    detect near-zero diagonal entries of R and re-solve the normal equations
+    with those columns excluded (coefficient forced to 0) — giving finite
+    coefficients and identical predictions on collinear inputs, as exercised
+    by reference tests/test_ols.py:324-360.
+    """
+    n, k = X.shape[-2], X.shape[-1]
+    Q, R = jnp.linalg.qr(X)
+    diag = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
+    tol = _EPS64 * max(n, k) * jnp.max(diag, axis=-1, keepdims=True)
+    keep = diag > tol  # [..., K]
+
+    qty = jnp.einsum("...ni,...n->...i", Q, y)
+    full_rank = keep.all()
+
+    def solve_full(_):
+        return jax.scipy.linalg.solve_triangular(R, qty, lower=False)
+
+    def solve_deficient(_):
+        # zero out dropped columns; solve (X_keep^T X_keep + tiny*I) via
+        # masked normal equations so dropped coefficients are exactly 0.
+        Xm = X * keep[..., None, :]
+        A = jnp.einsum("...nk,...nl->...kl", Xm, Xm)
+        # unit diagonal on dropped columns keeps the system non-singular
+        eye = jnp.eye(k, dtype=X.dtype)
+        A = A + eye * jnp.where(keep, 0.0, 1.0)[..., None, :] * jnp.where(
+            keep, 0.0, 1.0
+        )[..., :, None]
+        b = jnp.einsum("...nk,...n->...k", Xm, y)
+        return solve_psd(A, b) * keep
+
+    return lax.cond(full_rank, solve_full, solve_deficient, operand=None)
+
+
+# --------------------------------------------------------------------------- #
+# Student-t survival (p-values)
+# --------------------------------------------------------------------------- #
+def t_two_sided_p_value(t: jnp.ndarray, dof: jnp.ndarray) -> jnp.ndarray:
+    """Two-sided p-value 2*(1 - F_t(|t|; dof)) via the regularized incomplete
+    beta identity p = I_{v/(v+t^2)}(v/2, 1/2). Replaces the reference's
+    statrs Student-t CDF (src/statistics.rs:44-48)."""
+    t = jnp.asarray(t, dtype=F64)
+    dof = jnp.asarray(dof, dtype=F64)
+    x = dof / (dof + t * t)
+    return jax.scipy.special.betainc(dof / 2.0, 0.5, x)

@@ -1,0 +1,302 @@
+"""Columnar series types backed by JAX device arrays.
+
+A :class:`Series` stores values plus an explicit validity mask. Like polars
+(and unlike raw numpy), *null* is distinct from *NaN*: validity is carried as
+a separate boolean array so the six null policies of the reference
+(src/expressions.rs:201-296) can be expressed as pure mask transforms on
+device. Invalid slots may contain arbitrary values; all consumers must go
+through the validity mask. ``to_numpy`` materialises invalid slots as NaN,
+matching how the reference converts null -> NaN at its FFI boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import CONFIG  # noqa: F401  (ensures x64 is enabled first)
+
+import jax.numpy as jnp
+
+
+def _is_float_dtype(dtype) -> bool:
+    return np.issubdtype(np.dtype(dtype), np.floating)
+
+
+class Series:
+    """A named 1-D column with optional validity mask.
+
+    Numeric float data lives on device (jnp arrays, f64 by default). Integer
+    and object (string) data — typically group keys — stays host-side as
+    numpy arrays, since group factorization runs on host.
+    """
+
+    __slots__ = ("name", "values", "validity")
+
+    def __init__(
+        self,
+        name: str,
+        values,
+        validity: Optional[np.ndarray] = None,
+    ) -> None:
+        self.name = name
+        if isinstance(values, Series):
+            validity = values.validity if validity is None else validity
+            values = values.values
+        if isinstance(values, (list, tuple)):
+            arr = np.asarray(values, dtype=object)
+            none_mask = np.array([v is None for v in values], dtype=bool)
+            if none_mask.any():
+                filled = [0.0 if v is None else v for v in values]
+                try:
+                    values = np.asarray(filled, dtype=np.float64)
+                except (TypeError, ValueError):
+                    values = arr
+                if validity is None:
+                    validity = ~none_mask
+            else:
+                try:
+                    values = np.asarray(values)
+                except (TypeError, ValueError):
+                    values = arr
+        if isinstance(values, np.ndarray) and _is_float_dtype(values.dtype):
+            nan_mask = np.isnan(values)
+            if nan_mask.any() and validity is None:
+                # NaN stays NaN (valid) on construction — polars semantics.
+                pass
+            values = jnp.asarray(values, dtype=jnp.float64)
+        self.values = values
+        if validity is not None:
+            validity = jnp.asarray(validity, dtype=bool)
+        self.validity = validity
+
+    # ------------------------------------------------------------------ #
+    @property
+    def is_float(self) -> bool:
+        return isinstance(self.values, jnp.ndarray) and jnp.issubdtype(
+            self.values.dtype, jnp.floating
+        )
+
+    def __len__(self) -> int:
+        return int(self.values.shape[0])
+
+    @property
+    def height(self) -> int:
+        return len(self)
+
+    def alias(self, name: str) -> "Series":
+        return Series(name, self.values, self.validity)
+
+    def valid_mask(self) -> jnp.ndarray:
+        """Validity as a device bool array (all-True if no mask)."""
+        if self.validity is None:
+            return jnp.ones(len(self), dtype=bool)
+        return self.validity
+
+    def null_count(self) -> int:
+        if self.validity is None:
+            return 0
+        return int((~self.validity).sum())
+
+    def is_null(self) -> "Series":
+        return Series(self.name, np.asarray(~self.valid_mask()))
+
+    def is_not_null(self) -> "Series":
+        return Series(self.name, np.asarray(self.valid_mask()))
+
+    def fill_null(self, value: float) -> "Series":
+        if self.validity is None:
+            return self
+        vals = jnp.where(self.validity, jnp.asarray(self.values), value)
+        return Series(self.name, vals, None)
+
+    def forward_fill(self) -> "Series":
+        vals = self.to_numpy()
+        mask = np.isnan(vals)
+        idx = np.where(~mask, np.arange(len(vals)), -1)
+        np.maximum.accumulate(idx, out=idx)
+        out = np.where(idx >= 0, vals[np.maximum(idx, 0)], np.nan)
+        validity = ~np.isnan(out)
+        return Series(self.name, np.nan_to_num(out), validity)
+
+    # ------------------------------------------------------------------ #
+    def to_numpy(self) -> np.ndarray:
+        """Materialise with invalid slots as NaN (float) / None (object)."""
+        if isinstance(self.values, jnp.ndarray):
+            vals = np.asarray(self.values)
+        else:
+            vals = self.values
+        if self.validity is not None:
+            mask = np.asarray(self.validity)
+            if _is_float_dtype(vals.dtype):
+                vals = np.where(mask, vals, np.nan)
+            else:
+                vals = np.asarray(
+                    [v if ok else None for v, ok in zip(vals.tolist(), mask)],
+                    dtype=object,
+                )
+        return vals
+
+    def to_list(self) -> list:
+        vals = self.to_numpy()
+        return [None if (isinstance(v, float) and np.isnan(v)) else v for v in vals.tolist()]
+
+    def gather(self, indices: np.ndarray) -> "Series":
+        if isinstance(self.values, jnp.ndarray):
+            vals = jnp.take(self.values, jnp.asarray(indices), axis=0)
+        else:
+            vals = self.values[np.asarray(indices)]
+        validity = None
+        if self.validity is not None:
+            validity = jnp.take(self.validity, jnp.asarray(indices), axis=0)
+        return Series(self.name, vals, validity)
+
+    def filter(self, mask: np.ndarray) -> "Series":
+        mask = np.asarray(mask, dtype=bool)
+        return self.gather(np.nonzero(mask)[0])
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "Series":
+        stop = len(self) if length is None else offset + length
+        idx = np.arange(offset, min(stop, len(self)))
+        return self.gather(idx)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            idx = np.arange(len(self))[i]
+            return self.gather(idx)
+        v = self.to_numpy()[i]
+        return v
+
+    def item(self):
+        assert len(self) == 1, f"Series {self.name} has {len(self)} values"
+        return self[0]
+
+    def count(self) -> int:
+        return len(self) - self.null_count()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Series(name={self.name!r}, len={len(self)}, nulls={self.null_count()})"
+
+
+class StructSeries:
+    """A struct-typed column: named fields over a shared [N, K] value matrix.
+
+    This mirrors the reference's coefficient/prediction struct outputs
+    (src/expressions.rs:114-143): a 2-D f64 array with per-field validity
+    (NaN entries become nulls) plus an optional per-row outer validity.
+    """
+
+    __slots__ = ("name", "field_names", "values", "validity")
+
+    def __init__(
+        self,
+        name: str,
+        field_names: Sequence[str],
+        values,
+        validity: Optional[jnp.ndarray] = None,
+    ) -> None:
+        self.name = name
+        self.field_names = list(field_names)
+        self.values = jnp.asarray(values, dtype=jnp.float64)
+        assert self.values.ndim == 2 and self.values.shape[1] == len(self.field_names)
+        if validity is not None:
+            validity = jnp.asarray(validity, dtype=bool)
+            if validity.ndim == 1:
+                validity = validity[:, None] & jnp.ones_like(self.values, dtype=bool)
+        self.validity = validity
+
+    def __len__(self) -> int:
+        return int(self.values.shape[0])
+
+    @property
+    def height(self) -> int:
+        return len(self)
+
+    def alias(self, name: str) -> "StructSeries":
+        return StructSeries(name, self.field_names, self.values, self.validity)
+
+    def fields(self) -> List[Series]:
+        cols = []
+        for j, fname in enumerate(self.field_names):
+            validity = None if self.validity is None else self.validity[:, j]
+            cols.append(Series(fname, self.values[:, j], validity))
+        return cols
+
+    def field(self, fname: str) -> Series:
+        j = self.field_names.index(fname)
+        validity = None if self.validity is None else self.validity[:, j]
+        return Series(fname, self.values[:, j], validity)
+
+    def to_numpy(self) -> np.ndarray:
+        vals = np.asarray(self.values)
+        if self.validity is not None:
+            vals = np.where(np.asarray(self.validity), vals, np.nan)
+        return vals
+
+    def gather(self, indices: np.ndarray) -> "StructSeries":
+        idx = jnp.asarray(indices)
+        validity = None if self.validity is None else jnp.take(self.validity, idx, axis=0)
+        return StructSeries(
+            self.name, self.field_names, jnp.take(self.values, idx, axis=0), validity
+        )
+
+    def filter(self, mask: np.ndarray) -> "StructSeries":
+        mask = np.asarray(mask, dtype=bool)
+        return self.gather(np.nonzero(mask)[0])
+
+    def valid_mask(self) -> jnp.ndarray:
+        """Per-row validity: a struct row is null if all fields are null."""
+        if self.validity is None:
+            return jnp.ones(len(self), dtype=bool)
+        return self.validity.any(axis=1)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"StructSeries(name={self.name!r}, fields={self.field_names}, len={len(self)})"
+        )
+
+
+class ObjectSeries:
+    """Host-side column of arbitrary Python objects (e.g. list-valued
+    statistics fields mirroring the reference's statistics struct,
+    src/expressions.rs:448-466)."""
+
+    __slots__ = ("name", "values")
+
+    def __init__(self, name: str, values: Iterable) -> None:
+        self.name = name
+        self.values = list(values)
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+    @property
+    def height(self) -> int:
+        return len(self)
+
+    def alias(self, name: str) -> "ObjectSeries":
+        return ObjectSeries(name, self.values)
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.values, dtype=object)
+
+    def to_list(self) -> list:
+        return list(self.values)
+
+    def gather(self, indices) -> "ObjectSeries":
+        return ObjectSeries(self.name, [self.values[int(i)] for i in np.asarray(indices)])
+
+    def filter(self, mask) -> "ObjectSeries":
+        mask = np.asarray(mask, dtype=bool)
+        return ObjectSeries(self.name, [v for v, m in zip(self.values, mask) if m])
+
+    def __getitem__(self, i):
+        return self.values[i]
+
+    def item(self):
+        assert len(self.values) == 1
+        return self.values[0]
+
+
+AnySeries = Union[Series, StructSeries, ObjectSeries]

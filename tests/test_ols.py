@@ -1,0 +1,813 @@
+"""Oracle-parity integration tests, mirroring the reference suite
+(/root/reference/tests/test_ols.py) with numpy/sklearn/scipy oracles
+(statsmodels behaviours are reimplemented in tests/oracles.py)."""
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pytest
+
+import polars_ols_tpu as pot
+from polars_ols_tpu import (
+    OLSKwargs,
+    col,
+    compute_least_squares,
+    compute_least_squares_from_formula,
+    compute_multi_target_least_squares,
+)
+from polars_ols_tpu import selectors as cs
+
+import oracles
+
+
+def _make_data(
+    n_samples: int = 2_000,
+    n_features: int = 2,
+    n_groups: Optional[int] = None,
+    scale: float = 0.1,
+    sparsity: float = 0.0,
+    add_missing: bool = False,
+    missing_columns: Optional[Tuple[str, ...]] = None,
+) -> pot.DataFrame:
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n_samples, n_features))
+    eps = rng.normal(size=n_samples, scale=scale)
+    data = {f"x{i + 1}": x[:, i] for i in range(n_features)}
+    data["y"] = x[:, : int(n_features * (1.0 - sparsity))].sum(1) + eps
+    df = pot.DataFrame(data)
+    if n_groups is not None:
+        df = df.with_columns(group=pot.lit(rng.integers(n_groups, size=n_samples).astype(float)))
+    if add_missing:
+        columns = missing_columns or [c for c in df.columns if c != "group"]
+        cols = {c: df[c] for c in df.columns}
+        for c in columns:
+            vals = df[c].to_numpy().astype(float)
+            mask = rng.random(n_samples) < 0.1
+            cols[c] = pot.Series(c, np.where(mask, 0.0, vals), ~mask)
+        df = pot.DataFrame(cols)
+    return df
+
+
+def _xy(df, features=("x1", "x2")):
+    x = np.stack([df[f].to_numpy() for f in features], axis=1)
+    y = df["y"].to_numpy()
+    return x, y
+
+
+# --------------------------------------------------------------------------- #
+# static OLS / ridge / WLS
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("solve_method", ("qr", "svd", "chol", "lu", None))
+def test_ols(solve_method):
+    df = _make_data(n_samples=1_000)
+    expr = compute_least_squares(
+        col("y"), col("x1"), col("x2"), ols_kwargs=OLSKwargs(solve_method=solve_method)
+    ).alias("predictions")
+    out = df.lazy().with_columns(expr).collect()
+    x, y = _xy(df)
+    coef = np.linalg.lstsq(x, y, rcond=None)[0]
+    assert np.allclose(out["predictions"].to_numpy(), x @ coef, atol=1e-4, rtol=1e-4)
+
+
+def test_ols_coefficients_exact_parity():
+    """BASELINE gate: exact fp64 coefficient parity vs numpy.linalg.lstsq."""
+    df = _make_data(n_samples=5_000, n_features=10)
+    feats = [f"x{i+1}" for i in range(10)]
+    coef = (
+        df.select(col("y").least_squares.ols(col("^x.*$"), mode="coefficients", solve_method="svd"))
+        .unnest("coefficients")
+        .to_numpy()
+        .flatten()
+    )
+    x, y = _xy(df, feats)
+    expected = np.linalg.lstsq(x, y, rcond=None)[0]
+    np.testing.assert_allclose(coef, expected, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("solve_method", ("svd", "chol"))
+def test_ridge(solve_method):
+    df = _make_data()
+    alpha = 0.01
+    x, y = _xy(df)
+    coef_expected = np.linalg.solve((x.T @ x) + np.eye(2) * alpha, x.T @ y)
+    expr = compute_least_squares(
+        col("y"), col("x1"), col("x2"),
+        ols_kwargs=OLSKwargs(alpha=alpha, solve_method=solve_method),
+    ).alias("predictions")
+    out = df.lazy().with_columns(expr).collect()
+    assert np.allclose(out["predictions"].to_numpy(), x @ coef_expected, rtol=1e-4, atol=1e-4)
+
+
+def test_wls():
+    rng = np.random.default_rng(1)
+    array = rng.normal(size=(10_000, 2))
+    noise = np.hstack([rng.normal(size=8_000, scale=10.0), rng.normal(size=2_000, scale=0.1)])
+    weights = np.hstack([np.ones(8_000) / 10**2, np.ones(2_000) / 0.1**2])
+    weights /= weights.mean()
+    df = pot.DataFrame(
+        {"y": array.sum(1) + noise, "x1": array[:, 0], "x2": array[:, 1], "sample_weight": weights}
+    )
+    out = df.lazy().with_columns(
+        compute_least_squares(
+            col("y"), col("x1"), col("x2"), sample_weights=col("sample_weight")
+        ).alias("predictions_wls"),
+        compute_least_squares(col("y"), col("x1"), col("x2")).alias("predictions_ols"),
+    ).collect()
+    x, y = _xy(df)
+    coef_wls = oracles.wls_coef(x, y, weights)
+    coef_ols = oracles.lstsq(x, y)
+    assert np.allclose(out["predictions_wls"].to_numpy(), x @ coef_wls, rtol=1e-4, atol=1e-4)
+    assert np.allclose(out["predictions_ols"].to_numpy(), x @ coef_ols, rtol=1e-4, atol=1e-4)
+
+
+def test_ols_intercept():
+    df = _make_data()
+    expr = compute_least_squares(col("y"), col("x1"), col("x2"), add_intercept=True).alias("p")
+    y_hat = df.select(expr).to_numpy().flatten()
+    x, y = _xy(df)
+    xi = np.hstack([x, np.ones((len(x), 1))])
+    expected = xi @ oracles.lstsq(xi, y)
+    assert np.allclose(y_hat, expected, atol=1e-4, rtol=1e-4)
+
+
+def test_ols_residuals():
+    df = _make_data()
+    residuals = df.select(
+        col("y").least_squares.from_formula("x1 + x2 -1", mode="residuals")
+    ).to_numpy()
+    x, y = _xy(df)
+    coef = oracles.lstsq(x, y)
+    assert np.allclose(residuals.flatten(), y - x @ coef, rtol=1e-4, atol=1e-4)
+
+
+def test_least_squares_namespace():
+    df = _make_data().with_columns(sample_weight=pot.lit(1.0))
+    ols = col("y").least_squares.ols(col("x1"), col("x2")).alias("ols")
+    ridge = col("y").least_squares.ridge(col("x1"), col("x2"), alpha=0.0).alias("ridge")
+    wls = (
+        col("y")
+        .least_squares.wls(col("x1"), col("x2"), sample_weights=col("sample_weight"))
+        .alias("wls")
+    )
+    formula = col("y").least_squares.from_formula("x1 + x2 - 1").alias("formula")
+    out = df.lazy().select(ols, ridge, wls, formula).collect()
+    arr = out.to_numpy().astype(float)
+    assert np.allclose(np.corrcoef(arr.T), 1.0)
+
+
+# --------------------------------------------------------------------------- #
+# null policies
+# --------------------------------------------------------------------------- #
+def test_fit_missing_data_coefficients():
+    df = _make_data(add_missing=True)
+
+    def coefs(frame, policy):
+        return (
+            frame.select(
+                col("y").least_squares.ols(
+                    col("^x.*$"), null_policy=policy, mode="coefficients"
+                )
+            )
+            .unnest("coefficients")
+            .to_numpy()
+        )
+
+    assert np.allclose(coefs(df, "zero"), coefs(df.fill_null(0.0), "ignore"))
+    assert np.allclose(coefs(df, "drop"), coefs(df.drop_nulls(), "ignore"))
+    assert np.allclose(
+        coefs(df, "drop_y_zero_x"),
+        coefs(df.drop_nulls(subset=["y"]).fill_null(0.0), "ignore"),
+    )
+
+
+@pytest.mark.parametrize("null_policy", ["drop", "drop_zero", "drop_y_zero_x"])
+def test_fit_missing_data_predictions_and_residuals(null_policy):
+    df = _make_data(add_missing=True)
+    x, y = _xy(df)
+    if null_policy == "drop_y_zero_x":
+        is_valid = ~np.isnan(y)
+        x_fit, y_fit = np.nan_to_num(x[is_valid, :]), y[is_valid]
+    else:
+        is_valid = ~np.isnan(x).any(axis=1) & ~np.isnan(y)
+        x_fit, y_fit = x[is_valid, :], y[is_valid]
+    coef = oracles.lstsq(x_fit, y_fit)
+    x_predict = np.nan_to_num(x)
+    predictions_expected = x_predict @ coef
+    if null_policy == "drop":
+        predictions_expected[~is_valid] = np.nan
+
+    predictions = df.select(
+        predictions=col("y").least_squares.ols(
+            col("x1"), col("x2"), null_policy=null_policy, mode="predictions"
+        )
+    )
+    assert np.allclose(
+        predictions.to_numpy().flatten().astype(float),
+        predictions_expected,
+        rtol=1e-4,
+        atol=1e-4,
+        equal_nan=True,
+    )
+
+    residuals = df.select(
+        residuals=col("y").least_squares.ols(
+            col("x1"), col("x2"), null_policy=null_policy, mode="residuals"
+        )
+    )
+    assert np.allclose(
+        residuals.to_numpy().flatten().astype(float),
+        y - predictions_expected,
+        rtol=1e-4,
+        atol=1e-4,
+        equal_nan=True,
+    )
+
+
+def test_all_empty_data():
+    df = pot.DataFrame({"A": [None, 2, None, 4], "B": [1, None, 3, None]})
+    out = df.with_columns(
+        col("A")
+        .least_squares.ols(col("B"), mode="residuals", null_policy="drop", solve_method="svd")
+        .alias("residuals")
+    )
+    assert all(v is None for v in out["residuals"].to_list())
+
+
+# --------------------------------------------------------------------------- #
+# wide / collinear problems
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("n_features", (2, 10, 100))
+def test_fit_wide(n_features):
+    df = _make_data(n_samples=10, n_features=n_features, scale=1e-4)
+    features = [col(f) for f in df.columns if f.startswith("x")]
+    df = df.with_columns(
+        col("y").least_squares.ols(*features, mode="coefficients").alias("coef_ols"),
+        col("y")
+        .least_squares.ridge(*features, mode="coefficients", alpha=1e-5)
+        .alias("coef_ridge"),
+        col("y")
+        .least_squares.lasso(*features, mode="coefficients", alpha=1e-6, tol=1e-8, max_iter=3_000)
+        .alias("coef_lasso"),
+    )
+    y = df["y"].to_numpy()
+    for cname in ("coef_ols", "coef_ridge", "coef_lasso"):
+        preds = (
+            df.with_columns(coefficients=df[cname])
+            .select(col("coefficients").least_squares.predict(*features))
+            .to_numpy()
+            .flatten()
+        )
+        corr = np.corrcoef(preds, y)[0, 1]
+        assert corr == pytest.approx(1.0, rel=1e-5, abs=1e-5), cname
+
+
+@pytest.mark.parametrize(
+    "n_features, solve_method",
+    [(10, "svd"), (99, "svd"), (300, "svd"), (90, "qr")],
+)
+def test_fit_multi_collinear(n_features, solve_method):
+    n_samples = 100
+    df = _make_data(n_samples=n_samples, n_features=n_features, scale=1e-4)
+    last = f"x{n_features}"
+    dup = f"x{n_features + 1}"
+    df = df.with_columns((col(last) + 1.0e-12).alias(dup))
+    features = [col(f) for f in df.columns if f.startswith("x")]
+
+    coef = (
+        df.select(
+            col("y").least_squares.ols(
+                *features, mode="coefficients", solve_method=solve_method, rcond=1e-16
+            )
+        )
+        .unnest("coefficients")
+        .to_numpy()
+        .flatten()
+    )
+    feats = [f for f in df.columns if f.startswith("x")]
+    x, y = _xy(df, feats)
+    coef_expected = np.linalg.lstsq(x, y, rcond=1e-16)[0]
+    if solve_method == "svd":
+        assert np.allclose(coef, coef_expected, rtol=1e-2, atol=1e-2)
+        assert np.allclose(x @ coef, x @ coef_expected, rtol=1e-4, atol=1e-4)
+    else:
+        assert not np.isnan(coef).any()
+        assert np.allclose(x @ coef, x @ coef_expected, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# grouped (over) semantics
+# --------------------------------------------------------------------------- #
+def test_coefficients_ols_groups():
+    df = _make_data(n_groups=10)
+    coef_group = (
+        df.select(
+            "group",
+            col("y").least_squares.ols(col("^x.*$"), mode="coefficients").over("group"),
+        )
+        .unique()
+        .unnest("coefficients")
+    )
+    assert len(coef_group) == 10
+
+    sub = df.filter(df["group"].to_numpy() == 1.0)
+    coef_group_1 = (
+        sub.select(col("y").least_squares.ols(col("^x.*$"), mode="coefficients"))
+        .unnest("coefficients")
+        .to_numpy()
+    )
+    got = coef_group.filter(coef_group["group"].to_numpy() == 1.0).select("x1", "x2").to_numpy()
+    assert np.allclose(got, coef_group_1)
+
+
+def test_coefficients_shape_broadcast():
+    df = _make_data(n_samples=5_000, n_groups=10)
+    assert df.select(
+        col("y").least_squares.ols(col("x1"), col("x2"), mode="coefficients")
+    ).shape == (1, 1)
+    assert df.with_columns(
+        col("y").least_squares.ols(col("x1"), col("x2"), mode="coefficients")
+    ).shape == (5_000, 5)
+    df_group = df.select(
+        col("y").least_squares.ols(col("x1"), col("x2"), mode="coefficients").over("group"),
+        "group",
+    )
+    assert df_group.shape == (5_000, 2)
+    assert df_group.unique().shape == (10, 2)
+
+
+# --------------------------------------------------------------------------- #
+# elastic net / lasso / NNLS
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize(
+    "n_features,sparsity,alpha,solve_method",
+    [
+        (2, 0.0, 0.1, "cd"),
+        (20, 0.5, 0.3, "cd"),
+        (100, 0.9, 0.3, "cd_active_set"),
+    ],
+)
+def test_elastic_net(n_features, sparsity, alpha, solve_method):
+    from sklearn.linear_model import ElasticNet
+
+    df = _make_data(n_features=n_features, sparsity=sparsity)
+    features = [c for c in df.columns if c != "y"]
+    x, y = _xy(df, features)
+    mdl = ElasticNet(fit_intercept=False, alpha=alpha, l1_ratio=0.5, max_iter=1000, tol=1e-4)
+    mdl.fit(x, y)
+    predictions_1 = mdl.predict(x).flatten()
+    predictions_2 = (
+        df.lazy()
+        .select(
+            col("y").least_squares.elastic_net(
+                *[col(f) for f in features],
+                mode="predictions",
+                l1_ratio=0.5,
+                alpha=alpha,
+                max_iter=1000,
+                tol=1e-4,
+                solve_method=solve_method,
+            )
+        )
+        .collect()
+        .to_numpy()
+        .flatten()
+    )
+    assert np.allclose(predictions_1, predictions_2, rtol=1e-4, atol=1e-4)
+
+
+def test_elastic_net_non_negative():
+    from sklearn.linear_model import ElasticNet
+
+    df = _make_data()
+    x, y = _xy(df)
+    x2 = np.stack([x[:, 0], -x[:, 1]], axis=1)
+    mdl = ElasticNet(
+        fit_intercept=False, alpha=0.1, l1_ratio=0.5, max_iter=1000, tol=1e-4, positive=True
+    )
+    mdl.fit(x2, y)
+    coef = (
+        df.lazy()
+        .select(
+            col("y").least_squares.elastic_net(
+                col("x1"),
+                -col("x2"),
+                mode="coefficients",
+                l1_ratio=0.5,
+                alpha=0.1,
+                max_iter=1000,
+                tol=1e-4,
+                positive=True,
+            )
+        )
+        .unnest("coefficients")
+        .collect()
+        .to_numpy()
+        .flatten()
+    )
+    assert np.allclose(mdl.coef_, coef, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# recursive least squares
+# --------------------------------------------------------------------------- #
+def test_recursive_least_squares():
+    df = _make_data(add_missing=True)
+    coef_rls = (
+        df.lazy()
+        .select(
+            col("y")
+            .least_squares.rls(
+                col("x1"),
+                col("x2"),
+                mode="coefficients",
+                half_life=None,
+                initial_state_covariance=1_000_000.0,
+                null_policy="drop",
+            )
+        )
+        .unnest("coefficients")
+        .collect()
+        .to_numpy()
+    )
+    coef_ols = (
+        df.lazy()
+        .select(
+            col("y").least_squares.ols(
+                col("x1"), col("x2"), mode="coefficients", null_policy="drop"
+            )
+        )
+        .unnest("coefficients")
+        .collect()
+        .to_numpy()
+        .flatten()
+    )
+    assert np.allclose(coef_rls[-1], coef_ols, rtol=1e-4, atol=1e-4)
+
+
+def test_recursive_least_squares_vs_kalman_oracle():
+    df = _make_data(n_samples=500, add_missing=True)
+    x, y = _xy(df)
+    valid = ~(np.isnan(y) | np.isnan(x).any(axis=1))
+    expected = oracles.recursive_least_squares(
+        np.nan_to_num(x), np.nan_to_num(y), valid, half_life=20.0, initial_state_covariance=5.0
+    )
+    got = (
+        df.select(
+            col("y").least_squares.rls(
+                col("x1"),
+                col("x2"),
+                mode="coefficients",
+                half_life=20.0,
+                initial_state_covariance=5.0,
+                null_policy="drop",
+            )
+        )
+        .unnest("coefficients")
+        .to_numpy()
+    )
+    assert np.allclose(got, expected, rtol=1e-6, atol=1e-8)
+
+
+def test_recursive_least_squares_prior():
+    df = _make_data()
+    coef_rls_prior = (
+        df.lazy()
+        .select(
+            col("y").least_squares.rls(
+                col("x1"),
+                col("x2"),
+                mode="coefficients",
+                half_life=None,
+                initial_state_covariance=1.0e-6,
+                initial_state_mean=[0.25, 0.25],
+            )
+        )
+        .unnest("coefficients")
+        .collect()
+        .to_numpy()
+    )
+    assert np.allclose(coef_rls_prior[0], [0.25, 0.25], rtol=1e-3, atol=1e-3)
+    assert np.allclose(coef_rls_prior[10], [0.25, 0.25], rtol=1e-3, atol=1e-3)
+    assert not np.allclose(coef_rls_prior[-1], [0.5, 0.5], rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# rolling window
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize(
+    "window_size,min_periods,use_woodbury",
+    [(2, 2, False), (10, 2, False), (10, 2, True), (63, 5, False), (252, 5, True)],
+)
+def test_rolling_least_squares(window_size, min_periods, use_woodbury):
+    df = _make_data(n_samples=1_000, add_missing=True, missing_columns=("y",))
+    coef_rolling = (
+        df.lazy()
+        .select(
+            col("y").least_squares.rolling_ols(
+                col("x1"),
+                col("x2"),
+                mode="coefficients",
+                window_size=window_size,
+                min_periods=min_periods,
+                use_woodbury=use_woodbury,
+                null_policy="drop_window",
+            )
+        )
+        .unnest("coefficients")
+        .collect()
+        .to_numpy()
+    )
+    x, y = _xy(df)
+    expected = oracles.rolling_ols_drop_window(x, y, window_size, min_periods)
+    # statsmodels parity includes forward-fill of undefined estimates
+    for j in range(2):
+        col_e = expected[:, j]
+        idx = np.where(~np.isnan(col_e), np.arange(len(col_e)), -1)
+        np.maximum.accumulate(idx, out=idx)
+        expected[:, j] = np.where(idx >= 0, col_e[np.maximum(idx, 0)], np.nan)
+    assert np.allclose(coef_rolling, expected, rtol=1e-3, atol=1e-3, equal_nan=True)
+
+
+@pytest.mark.parametrize("min_periods,expected", [(999, 2), (1_000, 1), (1_001, 0)])
+def test_rolling_ols_insufficient_data(min_periods, expected):
+    df = _make_data(n_samples=1_000)
+    coef_rolling = (
+        df.lazy()
+        .select(
+            col("y").least_squares.rolling_ols(
+                col("x1"),
+                col("x2"),
+                mode="coefficients",
+                window_size=2_000,
+                min_periods=min_periods,
+                use_woodbury=False,
+                null_policy="drop_window",
+            )
+        )
+        .unnest("coefficients")
+        .collect()
+    )
+    assert int(coef_rolling.count().max_horizontal().item()) == expected
+
+
+@pytest.mark.parametrize("window_size", (21, 252))
+def test_rolling_window_drop(window_size):
+    """'drop' semantics == drop nulls, roll positionally, realign forward."""
+    df = _make_data(n_samples=1_000, add_missing=True, missing_columns=("y",))
+    x, y = _xy(df)
+    expected = oracles.rolling_ols_valid_window(x, y, window_size, min_periods=2)
+    got = (
+        df.select(
+            col("y").least_squares.rolling_ols(
+                col("x1"),
+                col("x2"),
+                window_size=window_size,
+                min_periods=2,
+                mode="coefficients",
+                null_policy="drop",
+            )
+        )
+        .unnest("coefficients")
+        .to_numpy()
+    )
+    assert np.allclose(got, expected, rtol=1e-6, atol=1e-8, equal_nan=True)
+
+
+def test_moving_window_regressions_over():
+    df = _make_data(n_samples=2_000, n_groups=10)
+    out = (
+        df.lazy()
+        .select(
+            "group",
+            col("y")
+            .least_squares.rolling_ols(
+                col("x1"),
+                col("x2"),
+                mode="coefficients",
+                window_size=1_000_000,
+                min_periods=2,
+                null_policy="drop",
+            )
+            .over("group")
+            .alias("coef_rolling_ols_group"),
+            col("y")
+            .least_squares.rls(
+                col("x1"),
+                col("x2"),
+                half_life=None,
+                initial_state_covariance=1.0e6,
+                mode="coefficients",
+            )
+            .over("group")
+            .alias("coef_rls_group"),
+            col("y")
+            .least_squares.ols(col("x1"), col("x2"), mode="coefficients")
+            .over("group")
+            .alias("coef_ols_group"),
+        )
+        .collect()
+    )
+    df_last = out.group_by("group").last()
+    a = df_last.unnest("coef_ols_group").select("x1", "x2").to_numpy()
+    b = df_last.unnest("coef_rolling_ols_group").select("x1", "x2").to_numpy()
+    c = df_last.unnest("coef_rls_group").select("x1", "x2").to_numpy()
+    assert np.allclose(a, b)
+    assert np.allclose(a, c, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# multi-target
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize(
+    "alpha,mode,null_policy",
+    [
+        (0.0, "residuals", "ignore"),
+        (0.0, "residuals", "drop"),
+        (0.0001, "residuals", "drop_y_zero_x"),
+        (0.01, "residuals", "drop_zero"),
+    ],
+)
+def test_multi_target_regression(alpha, mode, null_policy):
+    df = _make_data(
+        n_samples=2_000,
+        n_features=3,
+        add_missing=null_policy not in {"zero", "ignore"},
+        missing_columns=("x1",),
+        n_groups=3,
+    )
+    df = df.with_columns(
+        pot.struct(
+            y1=col("x1") + col("x2") + col("x3"),
+            y2=col("x1") - col("x2") + col("x3"),
+            y3=-col("x1") + col("x2") - col("x3"),
+        ).alias("y")
+    )
+    ols_kwargs = OLSKwargs(null_policy=null_policy, solve_method="svd", alpha=alpha)
+    multi_target = df.select(
+        compute_multi_target_least_squares(
+            "y", col("^x.*$"), mode=mode, ols_kwargs=ols_kwargs
+        )
+        .over("group")
+        .alias(mode)
+    )
+    expected = df.unnest("y").select(
+        *[
+            compute_least_squares(target, col("^x.*$"), mode=mode, ols_kwargs=ols_kwargs)
+            .over("group")
+            .alias(target)
+            for target in ("y1", "y2", "y3")
+        ]
+    )
+    got = multi_target.unnest(mode).to_numpy().astype(float)
+    exp = expected.to_numpy().astype(float)
+    assert np.allclose(got, exp, equal_nan=True, atol=1e-8)
+
+
+# --------------------------------------------------------------------------- #
+# formula / predict / statistics
+# --------------------------------------------------------------------------- #
+def test_coefficients_ols_formula():
+    df = _make_data()
+    coef = (
+        df.select(col("y").least_squares.from_formula("x1 + x2 -1", mode="coefficients"))
+        .unnest("coefficients")
+        .to_numpy()[0]
+    )
+    assert np.allclose(coef.astype(float), [1.0, 1.0], atol=1e-2, rtol=1e-2)
+
+
+def test_least_squares_from_formula_wls():
+    rng = np.random.default_rng(2)
+    weights = rng.uniform(0, 1, size=2_000)
+    weights /= weights.mean()
+    df = _make_data().with_columns(sample_weights=pot.lit(weights))
+    expr = compute_least_squares_from_formula(
+        "y ~ x1 + x2", sample_weights=col("sample_weights")
+    ).alias("predictions")
+    x, y = _xy(df)
+    xi = np.hstack([x, np.ones((len(x), 1))])
+    coef = oracles.wls_coef(xi, y, weights)
+    assert np.allclose(
+        df.select(expr).to_numpy().flatten(), xi @ coef, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_formula_interactions():
+    from polars_ols_tpu.utils import build_expressions_from_patsy_formula
+
+    df = _make_data(n_features=4)
+    exprs, add_intercept = build_expressions_from_patsy_formula(
+        "y ~ x1 + x2:x3 - 1", include_dependent_variable=True
+    )
+    assert [e.meta.output_name for e in exprs] == ["y", "x1", "x2:x3"]
+    assert not add_intercept
+    out = df.select(col("y").least_squares.from_formula("x1 + x2:x3 - 1", mode="coefficients"))
+    x = np.stack([df["x1"].to_numpy(), df["x2"].to_numpy() * df["x3"].to_numpy()], axis=1)
+    expected = oracles.lstsq(x, df["y"].to_numpy())
+    got = out.unnest("coefficients").to_numpy().flatten()
+    assert np.allclose(got, expected, atol=1e-10)
+
+
+def test_predict():
+    df = _make_data(n_groups=1)
+    df_test = _make_data(n_samples=20, n_groups=1).drop("y")
+    df_coefficients = (
+        df.lazy()
+        .select(
+            "group",
+            col("y").least_squares.ols(col("x1"), col("x2"), mode="coefficients").over("group"),
+        )
+        .unique()
+        .collect()
+    )
+    predictions = (
+        df_test.lazy()
+        .join(df_coefficients, on="group")
+        .select(
+            col("coefficients").least_squares.predict(
+                col("x1"), col("x2"), name="predictions", null_policy="zero"
+            )
+        )
+        .collect()
+        .to_numpy()
+        .flatten()
+    )
+    xt = np.stack([df_test["x1"].to_numpy(), df_test["x2"].to_numpy()], axis=1)
+    coefs = df_coefficients.unnest("coefficients").select("x1", "x2").to_numpy()
+    expected = (xt @ coefs.T).flatten()
+    assert np.allclose(predictions, expected)
+
+
+def test_predict_intercept():
+    df = pot.DataFrame(
+        {"y": [1.0, 2, 3, 4], "x1": [3.0, 4, 5, 6], "x2": [4.0, 5, 6, 7], "x3": [5.0, 6, 7, 8]}
+    )
+    df = df.with_columns(
+        col("y").least_squares.ols(cs.starts_with("x"), add_intercept=True, mode="coefficients")
+    )
+    df = df.with_columns(
+        col("coefficients")
+        .least_squares.predict(cs.starts_with("x"), add_intercept=True)
+        .alias("y_pred")
+    )
+    assert np.allclose(df["y"].to_numpy(), df["y_pred"].to_numpy())
+
+
+def test_predict_formula():
+    df = _make_data()
+    df = (
+        df.lazy()
+        .with_columns(
+            coefficients=col("y").least_squares.from_formula("x1 + x2", mode="coefficients"),
+            predictions_1=col("y").least_squares.from_formula("x1 + x2", mode="predictions"),
+        )
+        .with_columns(
+            predictions_2=col("coefficients").least_squares.predict_from_formula("x1 + x2")
+        )
+        .collect()
+    )
+    assert np.allclose(df["predictions_1"].to_numpy(), df["predictions_2"].to_numpy())
+
+
+def test_predict_complex():
+    df = _make_data(n_groups=10)
+    df = (
+        df.lazy()
+        .with_columns(
+            predictions_1=col("y")
+            .least_squares.rls(col("x1"), col("x2"), mode="predictions")
+            .over("group"),
+            coefficients=col("y")
+            .least_squares.rls(col("x1"), col("x2"), mode="coefficients")
+            .over("group"),
+        )
+        .with_columns(
+            predictions_2=col("coefficients").least_squares.predict(col("x1"), col("x2"))
+        )
+        .collect()
+    )
+    assert np.allclose(df["predictions_1"].to_numpy(), df["predictions_2"].to_numpy())
+
+
+def test_least_squares_statistics():
+    df = _make_data()
+    statistics = df.select(
+        col("y").least_squares.ols(cs.starts_with("x"), mode="statistics", add_intercept=True)
+    ).unnest("statistics")
+    residuals = df.select(
+        col("y").least_squares.ols(cs.starts_with("x"), mode="residuals", add_intercept=True)
+    )
+    x, y = _xy(df)
+    xi = np.hstack([x, np.ones((len(x), 1))])
+    res = oracles.ols_statistics(xi, y)
+    expected_mse = (residuals.to_numpy().flatten() ** 2).mean()
+    assert statistics["r2"].item() == pytest.approx(res["r2"])
+    assert statistics["mse"].item() == pytest.approx(expected_mse)
+    exploded = statistics.explode(
+        ["feature_names", "coefficients", "standard_errors", "t_values", "p_values"]
+    )
+    assert exploded["feature_names"].to_list() == ["x1", "x2", "const"]
+    assert np.allclose(exploded["coefficients"].to_numpy(), res["coef"])
+    assert np.allclose(exploded["standard_errors"].to_numpy(), res["se"])
+    assert np.allclose(exploded["t_values"].to_numpy(), res["t"])
+    assert np.allclose(exploded["p_values"].to_numpy(), res["p"])
