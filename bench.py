@@ -1,0 +1,66 @@
+"""Headline benchmark: grouped-OLS throughput per chip.
+
+Runs the engine's north-star workload (BASELINE.json): grouped ordinary
+least squares fit + predict over many groups, end-to-end through the
+expression API (host layout + device solve + fetch), on whatever backend
+JAX selects (the real TPU chip under the driver).
+
+Baseline: the reference polars_ols sustains ~10.3M rows/s/core on its
+n=2,000 x k=5 OLS-QR benchmark (BASELINE.md, README.md:217). We use the
+same K=5 shape scaled to 2M rows across 10k groups — the reference would
+dispatch 10k rayon plugin calls for this; the TPU engine runs one batched
+program.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_ROWS = 2_000_000
+N_FEATURES = 5
+N_GROUPS = 10_000
+REFERENCE_ROWS_PER_S = 10.3e6  # polars_ols OLS-QR @ k=5 (BASELINE.md)
+
+
+def main() -> None:
+    import polars_ols_tpu as pot
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(N_ROWS, N_FEATURES))
+    y = x.sum(axis=1) + rng.normal(size=N_ROWS) * 0.1
+    g = rng.integers(N_GROUPS, size=N_ROWS).astype(float)
+    df = pot.DataFrame(
+        {"y": y, **{f"x{i + 1}": x[:, i] for i in range(N_FEATURES)}, "group": g}
+    )
+    features = [pot.col(f"x{i + 1}") for i in range(N_FEATURES)]
+    expr = pot.col("y").least_squares.ols(*features).over("group")
+
+    df.select(expr)  # compile + warm caches
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = df.select(expr)
+        out["y"].to_numpy()  # force host sync
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    rows_per_s = N_ROWS / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "grouped_ols_rows_per_s_per_chip",
+                "value": round(rows_per_s),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_s / REFERENCE_ROWS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

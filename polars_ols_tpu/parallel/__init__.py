@@ -1,0 +1,20 @@
+"""Multi-chip distribution for the grouped least-squares engine.
+
+See `sharded` for the mesh/collective design: data-parallel partial-moment
+accumulation with ``psum_scatter`` merges (exact for groups spanning
+shards) and group-parallel batched solves for whole-group solvers.
+"""
+
+from .sharded import (
+    fit_moments_sharded,
+    make_mesh,
+    shard_group_axis,
+    solve_groups_sharded,
+)
+
+__all__ = [
+    "fit_moments_sharded",
+    "make_mesh",
+    "shard_group_axis",
+    "solve_groups_sharded",
+]

@@ -1,0 +1,183 @@
+"""Multi-chip sharded grouped least squares (mesh + collectives).
+
+The reference's only parallelism is host-local: polars invokes the plugin
+once per group on rayon threads (reference README:19; SURVEY §2.3). The
+TPU-native replacement built here scales the *group batch axis* across a
+``jax.sharding.Mesh``:
+
+* **Row/data parallelism with moment merging** (`fit_moments_sharded`):
+  rows stay wherever they were ingested — each shard computes *partial*
+  per-group normal-equation moments (XtX, Xty) for the groups its rows
+  touch via one MXU-bound segment-sum, then a single ``psum_scatter``
+  merges partials across shards AND scatters the group axis, so every
+  chip Cholesky-solves an even 1/n slice of groups. A final tiled
+  ``all_gather`` replicates coefficients for row-local predictions.
+  Because XtX/Xty accumulation is associative, groups spanning shards
+  (skew, heavy groups) are merged *exactly* — no row shuffle is needed
+  for any moments-based solver (OLS/WLS/ridge; SURVEY §2.3 "DP" row).
+
+* **Group parallelism for whole-group solvers** (`solve_groups_sharded`):
+  solvers that need whole groups contiguous (minimum-norm SVD, coordinate
+  descent, the RLS/rolling scans) run on the padded ``[G, R, K]`` layout
+  with the leading group axis sharded over the mesh — embarrassingly
+  parallel, zero collectives after the initial placement.
+
+Communication rides ICI: the only traffic is ``[G, K, K]`` moments and
+``[G, K]`` coefficients, never the ``[N, K]`` row data.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        return _shard_map(f, check_vma=False, **kw)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, **kw):
+        return _shard_map_old(f, check_rep=False, **kw)
+
+from ..ops.linalg import solve_psd
+
+F64 = jnp.float64
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a device mesh. 1-D ('data') by default; pass ``shape`` and two
+    axis names for a 2-D ('data', 'model') mesh."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if shape is None:
+        shape = (len(devs),) if len(axis_names) == 1 else None
+    assert shape is not None, "2-D meshes require an explicit shape"
+    return Mesh(np.asarray(devs).reshape(tuple(shape)), tuple(axis_names))
+
+
+def _mesh_size(mesh: Mesh, axes) -> int:
+    if isinstance(axes, str):
+        axes = (axes,)
+    size = 1
+    for a in axes:
+        size *= mesh.shape[a]
+    return size
+
+
+def _pad_to(x: np.ndarray | jnp.ndarray, n: int, axis: int = 0):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(jnp.asarray(x), widths)
+
+
+# --------------------------------------------------------------------------- #
+# data-parallel moments path (OLS / WLS / ridge over groups)
+# --------------------------------------------------------------------------- #
+def fit_moments_sharded(
+    mesh: Mesh,
+    X: jnp.ndarray,  # [N, K] fit features (excluded rows zeroed)
+    y: jnp.ndarray,  # [N]
+    w: jnp.ndarray,  # [N] bool fit mask
+    gids: jnp.ndarray,  # [N] int32/int64 group ids
+    num_groups: int,
+    alpha: float = 0.0,
+    row_axes="data",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed grouped normal-equation fit.
+
+    Returns (beta [G, K] fully replicated, predictions [N] row-sharded).
+    Rows may land on any shard in any order: partial-moment ``psum_scatter``
+    merges cross-shard groups exactly (associativity of XtX; SURVEY §2.3).
+    """
+    n_shards = _mesh_size(mesh, row_axes)
+    N, K = X.shape
+    Np = -(-N // n_shards) * n_shards
+    Gp = -(-num_groups // n_shards) * n_shards
+    Xp = _pad_to(X.astype(F64), Np)
+    yp = _pad_to(y.astype(F64), Np)
+    wp = _pad_to(w.astype(bool), Np)  # padded rows -> False -> zero moments
+    gp = _pad_to(jnp.asarray(gids, dtype=jnp.int32), Np)
+
+    row_spec = P(row_axes)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(row_spec, row_spec, row_spec, row_spec),
+        out_specs=(P(), row_spec),
+    )
+    def step(Xl, yl, wl, gl):
+        wf = wl.astype(F64)
+        Xm = Xl * wf[:, None]
+        # local partial moments for ALL groups (rows of other shards add 0)
+        xtx = jax.ops.segment_sum(
+            jnp.einsum("nk,nl->nkl", Xm, Xl, preferred_element_type=F64),
+            gl,
+            num_segments=Gp,
+        )
+        xty = jax.ops.segment_sum(Xm * yl[:, None], gl, num_segments=Gp)
+        # merge partials across shards + scatter the group axis in one op
+        xtx = lax.psum_scatter(xtx, row_axes, scatter_dimension=0, tiled=True)
+        xty = lax.psum_scatter(xty, row_axes, scatter_dimension=0, tiled=True)
+        A = xtx + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+        beta_local = solve_psd(A, xty)  # [Gp / n, K]
+        beta = lax.all_gather(beta_local, row_axes, axis=0, tiled=True)
+        preds = jnp.einsum("nk,nk->n", Xl, jnp.take(beta, gl, axis=0))
+        return beta, preds
+
+    beta, preds = step(Xp, yp, wp, gp)
+    return beta[:num_groups], preds[:N]
+
+
+# --------------------------------------------------------------------------- #
+# group-parallel path (whole-group solvers: SVD / CD / scans)
+# --------------------------------------------------------------------------- #
+def shard_group_axis(mesh: Mesh, arrays, group_axes="data"):
+    """Place ``[G, ...]`` padded-group arrays with G sharded over the mesh.
+
+    G is padded up to a multiple of the mesh size; callers slice results
+    back to the true G. Returns (placed_arrays, true_G).
+    """
+    n_shards = _mesh_size(mesh, group_axes)
+    G = arrays[0].shape[0]
+    Gp = -(-G // n_shards) * n_shards
+    spec = P(group_axes)
+    placed = []
+    for a in arrays:
+        ap = _pad_to(a, Gp)
+        placed.append(jax.device_put(ap, NamedSharding(mesh, spec)))
+    return placed, G
+
+
+def solve_groups_sharded(mesh: Mesh, solver, arrays, group_axes="data", **solver_kwargs):
+    """Run a batched whole-group solver with the group axis sharded.
+
+    ``solver(*arrays, **solver_kwargs)`` must be vmapped/batched over the
+    leading group axis (all of ops.direct / ops.cd / ops.recursive /
+    ops.rolling qualify). XLA partitions the batch across the mesh with no
+    communication — the exact TPU analog of the reference's per-group rayon
+    dispatch.
+    """
+    placed, G = shard_group_axis(mesh, arrays, group_axes)
+    out_shardings = NamedSharding(mesh, P(group_axes))
+    fn = jax.jit(
+        partial(solver, **solver_kwargs), out_shardings=out_shardings
+    )
+    out = fn(*placed)
+    return out[:G]

@@ -1,0 +1,142 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed path at all (SURVEY §2.3) — these tests
+cover what the TPU build adds: sharded moment merges must equal the
+single-device grouped solve exactly (associativity of XtX), and the
+group-parallel solver path must match its unsharded counterpart.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polars_ols_tpu as pot
+from polars_ols_tpu.ops.cd import solve_elastic_net
+from polars_ols_tpu.ops.recursive import solve_recursive_least_squares
+from polars_ols_tpu.parallel import (
+    fit_moments_sharded,
+    make_mesh,
+    solve_groups_sharded,
+)
+
+
+def _grouped_data(n=4_000, k=3, g=17, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, k))
+    beta_g = rng.normal(size=(g, k))
+    gids = rng.integers(g, size=n)
+    y = np.einsum("nk,nk->n", X, beta_g[gids]) + rng.normal(size=n) * 0.1
+    return X, y, gids
+
+
+@pytest.mark.parametrize("n_devices", [1, 4, 8])
+def test_fit_moments_sharded_matches_lstsq(n_devices):
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    X, y, gids = _grouped_data()
+    g = int(gids.max()) + 1
+    mesh = make_mesh(n_devices)
+    beta, preds = fit_moments_sharded(
+        mesh,
+        jnp.asarray(X),
+        jnp.asarray(y),
+        jnp.ones(len(y), dtype=bool),
+        jnp.asarray(gids),
+        num_groups=g,
+    )
+    beta = np.asarray(beta)
+    for gi in range(g):
+        m = gids == gi
+        expected = np.linalg.lstsq(X[m], y[m], rcond=None)[0]
+        np.testing.assert_allclose(beta[gi], expected, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(preds), np.einsum("nk,nk->n", X, beta[gids]), rtol=1e-10
+    )
+
+
+def test_fit_moments_sharded_skewed_groups():
+    """One heavy group spanning every shard merges exactly (psum merge)."""
+    rng = np.random.default_rng(1)
+    n, k = 8_192, 4
+    X = rng.normal(size=(n, k))
+    gids = np.zeros(n, dtype=np.int64)
+    gids[: n // 64] = np.arange(n // 64) % 7 + 1  # 7 tiny groups + 1 heavy
+    y = X.sum(1) + rng.normal(size=n) * 0.1
+    mesh = make_mesh(8)
+    beta, _ = fit_moments_sharded(
+        mesh, jnp.asarray(X), jnp.asarray(y), jnp.ones(n, dtype=bool),
+        jnp.asarray(gids), num_groups=8,
+    )
+    beta = np.asarray(beta)
+    for gi in range(8):
+        m = gids == gi
+        expected = np.linalg.lstsq(X[m], y[m], rcond=None)[0]
+        np.testing.assert_allclose(beta[gi], expected, rtol=1e-8, atol=1e-8)
+
+
+def test_fit_moments_sharded_2d_mesh():
+    X, y, gids = _grouped_data(n=2_048, g=12)
+    g = 12
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    beta, _ = fit_moments_sharded(
+        mesh, jnp.asarray(X), jnp.asarray(y), jnp.ones(len(y), dtype=bool),
+        jnp.asarray(gids), num_groups=g, row_axes=("data", "model"),
+    )
+    beta = np.asarray(beta)
+    for gi in range(g):
+        m = gids == gi
+        expected = np.linalg.lstsq(X[m], y[m], rcond=None)[0]
+        np.testing.assert_allclose(beta[gi], expected, rtol=1e-8, atol=1e-8)
+
+
+def test_solve_groups_sharded_cd_matches_single_device():
+    rng = np.random.default_rng(2)
+    G, R, K = 16, 256, 4
+    Xp = jnp.asarray(rng.normal(size=(G, R, K)))
+    yp = jnp.asarray(rng.normal(size=(G, R)))
+    n_valid = jnp.full((G,), float(R))
+    kwargs = dict(alpha=0.1, l1_ratio=0.5, max_iter=500, tol=1e-7, positive=False)
+    single = solve_elastic_net(Xp, yp, n_valid, **kwargs)
+    mesh = make_mesh(8)
+    sharded = solve_groups_sharded(mesh, solve_elastic_net, [Xp, yp, n_valid], **kwargs)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-12)
+
+
+def test_solve_groups_sharded_rls_matches_single_device():
+    rng = np.random.default_rng(3)
+    G, R, K = 8, 128, 3
+    Xp = jnp.asarray(rng.normal(size=(G, R, K)))
+    yp = jnp.asarray(rng.normal(size=(G, R)))
+    vp = jnp.asarray(rng.random((G, R)) > 0.1)
+    kwargs = dict(
+        half_life=20.0, initial_state_covariance=10.0, initial_state_mean=None, chunk=64
+    )
+    single = solve_recursive_least_squares(Xp, yp, vp, **kwargs)
+    mesh = make_mesh(8)
+    sharded = solve_groups_sharded(
+        mesh, solve_recursive_least_squares, [Xp, yp, vp], **kwargs
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-10)
+
+
+def test_expression_api_agrees_with_sharded_fit():
+    """End-to-end: the single-device expression engine and the distributed
+    moments path produce identical grouped coefficients."""
+    X, y, gids = _grouped_data(n=1_000, k=2, g=5)
+    df = pot.DataFrame(
+        {"y": y, "x1": X[:, 0], "x2": X[:, 1], "group": gids.astype(float)}
+    )
+    out = df.select(
+        pot.col("y").least_squares.ols("x1", "x2", mode="coefficients").over("group"),
+        pot.col("group"),
+    )
+    coef = out["coefficients"]
+    mesh = make_mesh(8)
+    beta, _ = fit_moments_sharded(
+        mesh, jnp.asarray(X), jnp.asarray(y), jnp.ones(len(y), dtype=bool),
+        jnp.asarray(gids), num_groups=5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(coef.values), np.asarray(beta)[gids], rtol=1e-7, atol=1e-9
+    )
