@@ -10,6 +10,7 @@ factorizations.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
@@ -24,13 +25,13 @@ from ..ops.cd import solve_elastic_net
 from ..ops.direct import (
     grouped_moments,
     resolve_solve_method,
-    solve_from_moments,
     solve_from_rows,
 )
+from ..ops.linalg import solve_psd
 from ..ops.recursive import solve_recursive_least_squares
 from ..ops.rolling import solve_rolling_ols
 from ..ops.statistics import feature_metrics, residual_metrics
-from .groups import build_layout, padded_indices, split_padded_indices
+from .groups import build_layout
 
 F64 = jnp.float64
 
@@ -46,13 +47,12 @@ def _pad_rows(layout, arrays, mask):
     """
     if layout.num_groups == 1:
         return [a[None] for a in arrays], mask[None]
-    gather, pmask, R = padded_indices(layout)
-    g = jnp.asarray(gather.reshape(-1))
+    g, pmask, R = layout.device_padded()
     padded = [
         jnp.take(a, g, axis=0).reshape((layout.num_groups, R) + a.shape[1:])
         for a in arrays
     ]
-    pm = jnp.asarray(pmask) & jnp.take(mask, g).reshape(layout.num_groups, R)
+    pm = pmask & jnp.take(mask, g).reshape(layout.num_groups, R)
     return padded, pm
 
 
@@ -62,24 +62,159 @@ def _unpad_rows(layout, padded: jnp.ndarray) -> jnp.ndarray:
         return padded[0]
     G, R = padded.shape[:2]
     flat = padded.reshape((G * R,) + padded.shape[2:])
-    idx = jnp.asarray(layout.gids * R + layout.rank_in_group)
-    return jnp.take(flat, idx, axis=0)
+    return jnp.take(flat, layout.device_unpad(R), axis=0)
+
+
+def _split_layout(layout):
+    r_cap = min(CONFIG.moment_chunk_rows, max(8, int(layout.counts.max())))
+    return layout.device_split(r_cap)
 
 
 def _moments(layout, X, y, w):
     """Per-group XtX/Xty/counts via the split-padded MXU layout: heavy groups
     are split into row blocks whose partial moments are segment-summed."""
-    r_cap = min(CONFIG.moment_chunk_rows, max(8, int(layout.counts.max())))
-    gather, pmask, block_group, S = split_padded_indices(layout, r_cap)
-    g = jnp.asarray(gather.reshape(-1))
+    g, pmask, block_group, S = _split_layout(layout)
+    r_cap = pmask.shape[1]
     Xp = jnp.take(X, g, axis=0).reshape((S, r_cap, X.shape[1]))
     yp = jnp.take(y, g, axis=0).reshape((S, r_cap) + y.shape[1:])
-    wp = jnp.asarray(pmask) & jnp.take(w, g).reshape(S, r_cap)
-    return grouped_moments(Xp, yp, wp, jnp.asarray(block_group), layout.num_groups)
+    wp = pmask & jnp.take(w, g).reshape(S, r_cap)
+    return grouped_moments(Xp, yp, wp, block_group, layout.num_groups)
 
 
 def _gather_per_row(layout, per_group: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(per_group, jnp.asarray(layout.gids), axis=0)
+    return jnp.take(per_group, layout.device_gids(), axis=0)
+
+
+# --------------------------------------------------------------------------- #
+# fused static fit + predict (normal-equation path)
+# --------------------------------------------------------------------------- #
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "policy", "want"))
+def _chol_fit_kernel(
+    vals,  # [N, 1+K] target column 0, features 1..K (raw values)
+    valid,  # [N, 1+K] bool validity, or None when fully valid
+    gather,  # [S*R] split-padded gather map (None when num_groups == 1)
+    pmask,  # [S, R]
+    block_group,  # [S]
+    gids,  # [N] int32
+    num_groups: int,
+    alpha: float,
+    policy: str,
+    want: str,  # "beta" | "rows" | "preds"
+):
+    """One fused device program for grouped normal-equation fits:
+    null-policy masking -> single padded gather -> MXU moment matmuls ->
+    segment-sum merge -> vectorized batched Cholesky (eigh fallback) ->
+    per-row coefficient gather -> predictions. A single program per call
+    amortizes this backend's per-dispatch latency, and packing target +
+    mask next to the features means ONE row gather instead of three."""
+    K = vals.shape[1] - 1
+    if valid is None:
+        y_fit, X_fit = vals[:, 0], vals[:, 1:]
+        fit_mask = None  # all rows valid
+        X_pred, predict_valid = X_fit, None
+    else:
+        problem = masking.prepare_problem(
+            policy, vals[:, 0], valid[:, 0], vals[:, 1:], valid[:, 1:]
+        )
+        y_fit, X_fit, fit_mask = problem.y, problem.X, problem.fit_mask
+        X_pred, predict_valid = problem.X_predict, problem.predict_valid
+
+    if num_groups == 1:
+        wf = 1.0 if fit_mask is None else fit_mask.astype(F64)[:, None]
+        Xm = X_fit * wf
+        XtX = jnp.einsum("nk,nl->kl", Xm, X_fit, preferred_element_type=F64)[None]
+        Xty = jnp.einsum("nk,n->k", Xm, y_fit, preferred_element_type=F64)[None]
+    else:
+        S, R = pmask.shape
+        cols = [X_fit, y_fit[:, None]]
+        if fit_mask is not None:
+            cols.append(fit_mask[:, None].astype(F64))
+        Z = jnp.concatenate(cols, axis=1)
+        Zp = jnp.take(Z, gather, axis=0).reshape((S, R, Z.shape[1]))
+        Xp, yp = Zp[..., :K], Zp[..., K]
+        wp = pmask if fit_mask is None else pmask & (Zp[..., K + 1] > 0.5)
+        XtX, Xty, _ = grouped_moments(Xp, yp, wp, block_group, num_groups)
+
+    A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+    beta = solve_psd(A, Xty)
+    if want == "beta":
+        return beta
+    coef_rows = (
+        jnp.broadcast_to(beta[0], X_pred.shape)
+        if num_groups == 1
+        else jnp.take(beta, gids, axis=0)
+    )
+    if want == "rows":
+        return coef_rows
+    preds = jnp.einsum("nk,nk->n", X_pred, coef_rows)
+    return preds, predict_valid
+
+
+# ---- steady-state block pipeline: materialized partition + fit kernel ---- #
+@partial(jax.jit, static_argnames=("policy", "S", "R"))
+def _build_blocks(vals, valid, gather, pmask, policy: str, S: int, R: int):
+    """Materialize the split-padded partition of a query's columns (run once
+    per (columns, layout, policy); cached). Returns (Zp [S,R,1+K] with the
+    target in slot 0, wp [S,R] fit mask, predict_valid [N] or None)."""
+    if valid is None:
+        Zp = jnp.take(vals, gather, axis=0).reshape((S, R, vals.shape[1]))
+        return Zp, pmask, None
+    problem = masking.prepare_problem(
+        policy, vals[:, 0], valid[:, 0], vals[:, 1:], valid[:, 1:]
+    )
+    Z = jnp.concatenate(
+        [problem.y[:, None], problem.X, problem.fit_mask[:, None].astype(F64)],
+        axis=1,
+    )
+    Zp = jnp.take(Z, gather, axis=0).reshape((S, R, Z.shape[1]))
+    wp = pmask & (Zp[..., -1] > 0.5)
+    return Zp[..., :-1], wp, problem.predict_valid
+
+
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want"))
+def _blocks_fit_kernel(
+    Zp,  # [S, R, 1+K] target in slot 0
+    wp,  # [S, R]
+    block_group,  # [S]
+    unpad_idx,  # [N] row-order gather out of the flat [S*R] layout
+    gids,  # [N]
+    num_groups: int,
+    alpha: float,
+    want: str,  # "beta" | "rows" | "preds"
+):
+    """Steady-state grouped fit on the materialized partition: MXU moment
+    matmuls + vectorized Cholesky; predictions are computed block-wise
+    (beta indexed by block, [S,K] — tiny) and scattered to row order with
+    one [N] gather instead of an [N,K] coefficient gather."""
+    K = Zp.shape[-1] - 1
+    yp, Xp = Zp[..., 0], Zp[..., 1:]
+    XtX, Xty, _ = grouped_moments(Xp, yp, wp, block_group, num_groups)
+    A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+    beta = solve_psd(A, Xty)
+    if want == "beta":
+        return beta
+    if want == "rows":
+        return jnp.take(beta, gids, axis=0)
+    beta_blocks = jnp.take(beta, block_group, axis=0)  # [S, K]
+    preds_blocks = jnp.einsum("srk,sk->sr", Xp, beta_blocks)
+    return jnp.take(preds_blocks.reshape(-1), unpad_idx, axis=0)
+
+
+def _blocks_cached(layout, vals, valid, policy: str):
+    """Materialized-partition cache: one padded gather per (columns, layout,
+    policy); steady-state queries reuse the device-resident blocks."""
+    g, pmask, block_group, S = _split_layout(layout)
+    R = pmask.shape[1]
+    key = ("blocks", id(vals), id(valid), policy, R)
+    if key not in layout._dev:
+        Zp, wp, predict_valid = _build_blocks(vals, valid, g, pmask, policy, S, R)
+        if len([k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]) >= 4:
+            for k in [k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]:
+                del layout._dev[k]
+        # hold refs to vals/valid so the ids in `key` stay valid
+        layout._dev[key] = (Zp, wp, predict_valid, block_group, vals, valid)
+    Zp, wp, predict_valid, block_group, _, _ = layout._dev[key]
+    return Zp, wp, predict_valid, block_group
 
 
 def _pick_chunk(G: int, k: int) -> int:
@@ -92,6 +227,42 @@ def _pick_chunk(G: int, k: int) -> int:
 # --------------------------------------------------------------------------- #
 # target/feature extraction
 # --------------------------------------------------------------------------- #
+_STACK_CACHE_LIMIT = 8
+
+
+def _stack_cached(target, feat_series):
+    """[N, 1+K] (values, validity) stack — target first — memoized on the
+    target Series. Plain-column queries re-evaluate to the same Series
+    objects, so repeated calls skip the device-side stack entirely; validity
+    is None when every input column is fully valid (the common fast case).
+    """
+    key = ("stack",) + tuple(id(s) for s in feat_series)
+    cache = getattr(target, "_layout_cache", None)
+    if cache is not None and key in cache:
+        return cache[key][0]
+    vals = jnp.stack(
+        [jnp.asarray(target.values, dtype=F64)]
+        + [jnp.asarray(s.values, dtype=F64) for s in feat_series],
+        axis=1,
+    )
+    valid = None
+    if target.validity is not None or any(s.validity is not None for s in feat_series):
+        valid = jnp.stack(
+            [target.valid_mask()] + [s.valid_mask() for s in feat_series], axis=1
+        )
+    out = (vals, valid)
+    try:
+        if cache is None:
+            cache = {}
+            object.__setattr__(target, "_layout_cache", cache)
+        if len(cache) >= _STACK_CACHE_LIMIT:
+            cache.pop(next(iter(cache)))
+        cache[key] = (out, tuple(feat_series))  # hold refs: keys use id()s
+    except AttributeError:
+        pass
+    return out
+
+
 def _extract(target, feat_series):
     names = [s.name for s in feat_series]
     X = jnp.stack([jnp.asarray(s.values, dtype=F64) for s in feat_series], axis=1)
@@ -108,17 +279,30 @@ def _extract(target, feat_series):
 # --------------------------------------------------------------------------- #
 # static fits
 # --------------------------------------------------------------------------- #
-def _fit_static(problem, layout, kwargs, k: int):
+def _resolve_method(layout, kwargs, k: int) -> str:
+    alpha = kwargs.alpha or 0.0
+    return resolve_solve_method(
+        kwargs.solve_method,
+        alpha,
+        kwargs.l1_ratio,
+        bool(kwargs.positive),
+        int(layout.counts.max()),
+        k,
+        grouped=layout.num_groups > 1,
+    )
+
+
+def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
     """Dispatch + solve; returns beta [G, K] or [G, K, M] for multi-target."""
     alpha = kwargs.alpha or 0.0
     l1 = kwargs.l1_ratio
     positive = bool(kwargs.positive)
-    method = resolve_solve_method(
-        kwargs.solve_method, alpha, l1, positive, int(layout.counts.max()), k
-    )
+    if method is None:
+        method = _resolve_method(layout, kwargs, k)
     if method in ("chol", "lu"):
         XtX, Xty, _ = _moments(layout, problem.X, problem.y, problem.fit_mask)
-        return solve_from_moments(XtX, Xty, float(alpha), method)
+        A = XtX + jnp.asarray(float(alpha), F64) * jnp.eye(k, dtype=F64)
+        return solve_psd(A, Xty)
     (Xp, yp), wp = _pad_rows(layout, [problem.X, problem.y], problem.fit_mask)
     Xp = Xp * wp[..., None]
     yp = yp * (wp if yp.ndim == 2 else wp[..., None])
@@ -159,26 +343,72 @@ def evaluate_least_squares(
     feat_series: List[Series],
     kwargs,
     mode: str,
-    gids: Optional[np.ndarray],
+    layout_in,
     multi_target: bool = False,
 ):
-    y, yv, X, xv, names, target_names = _extract(target, feat_series)
-    n, k = X.shape
+    n = len(target)
+    k = len(feat_series)
     moving = function_name in ("recursive_least_squares", "rolling_least_squares")
     policy = kwargs.null_policy
-    problem = masking.prepare_problem(policy, y, yv, X, xv, moving=moving)
-    layout = build_layout(gids, n)
+    layout = layout_in if layout_in is not None else build_layout(None, n)
     G = layout.num_groups
     out_name = target.name
 
+    # ---- fused fast path: static normal-equation fits on plain targets ----
+    if (
+        function_name == "least_squares"
+        and not multi_target
+        and not isinstance(target, StructSeries)
+        and mode != "statistics"
+    ):
+        method = _resolve_method(layout, kwargs, k)
+        if method in ("chol", "lu"):
+            vals, valid = _stack_cached(target, feat_series)
+            alpha = float(kwargs.alpha or 0.0)
+            names = [s.name for s in feat_series]
+            # block predictions reuse fit-side features; valid whenever the
+            # predict features coincide with (or are masked over) fit ones
+            blocks_ok = G > 1 and (
+                valid is None or policy in ("zero", "ignore", "drop")
+            )
+            if blocks_ok:
+                r_cap = _split_layout(layout)[1].shape[1]
+                Zp, wp, predict_valid, block_group = _blocks_cached(
+                    layout, vals, valid, policy
+                )
+                args = (
+                    Zp, wp, block_group,
+                    layout.device_split_unpad(r_cap), layout.device_gids(),
+                )
+                if mode == "coefficients":
+                    want = "beta" if layout_in is None else "rows"
+                    beta = _blocks_fit_kernel(*args, G, alpha, want)
+                    return _coef_struct(beta, names)
+                preds = _blocks_fit_kernel(*args, G, alpha, "preds")
+                return Series(out_name, preds, predict_valid)
+            if G == 1:
+                g = pmask = block_group = None
+            else:
+                g, pmask, block_group, _ = _split_layout(layout)
+            args = (vals, valid, g, pmask, block_group, layout.device_gids())
+            if mode == "coefficients":
+                want = "beta" if layout_in is None else "rows"
+                beta = _chol_fit_kernel(*args, G, alpha, policy, want)
+                return _coef_struct(beta, names)
+            preds, predict_valid = _chol_fit_kernel(*args, G, alpha, policy, "preds")
+            return Series(out_name, preds, predict_valid)
+
+    y, yv, X, xv, names, target_names = _extract(target, feat_series)
+    problem = masking.prepare_problem(policy, y, yv, X, xv, moving=moving)
+
     if function_name == "least_squares":
         if mode == "statistics":
-            return _statistics(problem, layout, kwargs, names, gids, k)
+            return _statistics(problem, layout, kwargs, names, layout_in, k)
         beta = _fit_static(problem, layout, kwargs, k)
         if beta.ndim == 3:  # multi-target [G, K, M]
             return _multi_target_output(problem, beta, layout, target_names)
         if mode == "coefficients":
-            if gids is None:
+            if layout_in is None:
                 return _coef_struct(beta, names)
             return _coef_struct(_gather_per_row(layout, beta), names)
         coef_rows = (
@@ -243,7 +473,7 @@ def _multi_target_output(problem, beta, layout, target_names):
     return StructSeries("predictions", target_names, preds, validity)
 
 
-def _statistics(problem, layout, kwargs, names, gids, k):
+def _statistics(problem, layout, kwargs, names, layout_in, k):
     """mode='statistics': single-row struct per group with residual metrics,
     dispatch-solver coefficients and normal-equation se/t/p
     (src/expressions.rs:468-509, src/statistics.rs)."""
@@ -251,7 +481,7 @@ def _statistics(problem, layout, kwargs, names, gids, k):
     XtX, Xty, counts = _moments(layout, problem.X, problem.y, problem.fit_mask)
     w = problem.fit_mask.astype(F64)
     yty_g = jax.ops.segment_sum(
-        problem.y * problem.y * w, jnp.asarray(layout.gids), num_segments=layout.num_groups
+        problem.y * problem.y * w, layout.device_gids(), num_segments=layout.num_groups
     )
     fm = feature_metrics(XtX, Xty, yty_g, counts, alpha)
 
@@ -281,7 +511,7 @@ def _statistics(problem, layout, kwargs, names, gids, k):
             }
         )
     out = ObjectSeries("statistics", rows)
-    if gids is not None:
+    if layout_in is not None:
         out = out.gather(layout.gids)
     return out
 

@@ -19,8 +19,8 @@ integer keys uses its O(N) hash table instead of numpy's sort-based unique.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -66,13 +66,107 @@ def _factorize_numeric(vals: np.ndarray) -> np.ndarray:
 
 @dataclass
 class GroupLayout:
-    """Host-computed layout metadata for a batch of groups."""
+    """Host-computed layout metadata for a batch of groups.
+
+    Device index tensors derived from it (gather maps for the padded and
+    split-padded layouts, per-row group ids) are built once and memoized in
+    ``_dev`` — layouts are cached per group-key column (see
+    `factorize_cached`), so steady-state evaluation re-uses device-resident
+    indices and never re-uploads them.
+    """
 
     gids: np.ndarray  # [N] group id per row
     num_groups: int
     counts: np.ndarray  # [G] rows per group
     order: np.ndarray  # [N] stable argsort of gids (rows grouped contiguously)
     rank_in_group: np.ndarray  # [N] 0-based position of each row inside its group
+    _dev: Dict = field(default_factory=dict, repr=False, compare=False)
+
+    def device_gids(self):
+        """Per-row group ids as a device int32 array."""
+        import jax.numpy as jnp
+
+        if "gids" not in self._dev:
+            self._dev["gids"] = jnp.asarray(self.gids, dtype=jnp.int32)
+        return self._dev["gids"]
+
+    def device_padded(self):
+        """(gather [G,R], pad_mask [G,R], R) as device arrays, memoized."""
+        import jax.numpy as jnp
+
+        if "padded" not in self._dev:
+            gather, pmask, R = padded_indices(self)
+            self._dev["padded"] = (
+                jnp.asarray(gather.reshape(-1), dtype=jnp.int32),
+                jnp.asarray(pmask),
+                R,
+            )
+        return self._dev["padded"]
+
+    def device_split(self, r_cap: int):
+        """(gather [S*R_cap], pad_mask [S,R_cap], block_group [S], S) device
+        arrays for the split-padded moment layout, memoized per r_cap."""
+        import jax.numpy as jnp
+
+        key = ("split", r_cap)
+        if key not in self._dev:
+            gather, pmask, block_group, S = split_padded_indices(self, r_cap)
+            self._dev[key] = (
+                jnp.asarray(gather.reshape(-1), dtype=jnp.int32),
+                jnp.asarray(pmask),
+                jnp.asarray(block_group, dtype=jnp.int32),
+                S,
+            )
+        return self._dev[key]
+
+    def device_split_unpad(self, r_cap: int):
+        """Row-order gather map [N] out of the flattened split-padded
+        [S * r_cap] layout (inverse of device_split's gather)."""
+        import jax.numpy as jnp
+
+        key = ("split_unpad", r_cap)
+        if key not in self._dev:
+            counts = self.counts
+            n_blocks = np.maximum(1, -(-counts // r_cap))
+            block_first = np.zeros(self.num_groups, dtype=np.int64)
+            np.cumsum(n_blocks[:-1], out=block_first[1:])
+            blk = block_first[self.gids] + self.rank_in_group // r_cap
+            slot = self.rank_in_group % r_cap
+            self._dev[key] = jnp.asarray(blk * r_cap + slot, dtype=jnp.int32)
+        return self._dev[key]
+
+    def device_unpad(self, R: int):
+        """Row-order scatter map [N] out of a padded [G, R] layout."""
+        import jax.numpy as jnp
+
+        key = ("unpad", R)
+        if key not in self._dev:
+            self._dev[key] = jnp.asarray(
+                self.gids * R + self.rank_in_group, dtype=jnp.int32
+            )
+        return self._dev[key]
+
+
+def layout_for_columns(cols: Sequence) -> GroupLayout:
+    """Factorize key columns into a GroupLayout, memoized on the first key
+    column (columns are immutable; derived frames share Series objects, so
+    repeated `.over()` evaluations against the same keys reuse the layout
+    and its device-resident index tensors)."""
+    cache = getattr(cols[0], "_layout_cache", None)
+    key = tuple(id(c) for c in cols)
+    if cache is not None and key in cache:
+        return cache[key][0]
+    gids = factorize_columns(cols)
+    layout = build_layout(gids, len(gids))
+    try:
+        if cache is None:
+            cache = {}
+            object.__setattr__(cols[0], "_layout_cache", cache)
+        # hold refs to the key columns so the ids in `key` stay valid
+        cache[key] = (layout, tuple(cols))
+    except AttributeError:  # __slots__ without cache support
+        pass
+    return layout
 
 
 def build_layout(gids: Optional[np.ndarray], n_rows: int) -> GroupLayout:

@@ -326,10 +326,10 @@ class OverExpr(Expr):
         return self.inner.output_name
 
     def evaluate(self, df, groups=None):
-        from .engine.groups import factorize_columns
+        from .engine.groups import layout_for_columns
 
-        gids = factorize_columns([df.get_column(k) for k in self.keys])
-        return self.inner.evaluate(df, gids)
+        layout = layout_for_columns([df.get_column(k) for k in self.keys])
+        return self.inner.evaluate(df, layout)
 
 
 class LeastSquaresExpr(Expr):

@@ -48,6 +48,112 @@ def eigh_pinv_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float | None = None) 
     return jnp.einsum("...ij,...jm->...im", v, w_inv[..., None] * vtb)
 
 
+# K at or below this uses the unrolled register-level Cholesky. Above it the
+# K^2 unrolled op count stops paying for itself vs the XLA batched kernel.
+_UNROLL_MAX_K = 32
+
+
+def _chol_solve_vectorized(A: jnp.ndarray, rhs: jnp.ndarray):
+    """Right-looking batched Cholesky solve with O(K) fused ops.
+
+    The fully unrolled variant emits ~K^2 scalar-lane ops; on backends with
+    high per-op launch cost that dominates. This version keeps whole
+    trailing submatrices per step — one rank-1 update, one scaled column and
+    one sqrt per elimination step (~4K ops total), all shaped [batch, K, K]
+    so XLA fuses them into a handful of kernels.
+
+    Args:
+        A: [..., K, K] symmetric.
+        rhs: [..., K, M].
+    Returns:
+        (solution [..., K, M], ok [...] bool finite-factor lanes)
+    """
+    K = A.shape[-1]
+    S = A
+    L_cols = []
+    for j in range(K):
+        d = jnp.sqrt(S[..., j, j])  # NaN/0 on non-PD lanes
+        col = S[..., :, j] / jnp.where(d == 0, 1.0, d)[..., None]
+        col = col * (jnp.arange(K) >= j)  # zero above the diagonal
+        col = jnp.where((d == 0)[..., None], jnp.nan, col)
+        L_cols.append(col)
+        S = S - col[..., :, None] * col[..., None, :]
+    L = jnp.stack(L_cols, axis=-1)  # [..., K, K] lower triangular
+    ok = jnp.isfinite(L).all(axis=(-2, -1))
+
+    # forward substitution: L z = rhs
+    z = rhs
+    zs = []
+    for j in range(K):
+        zj = z[..., j, :] / L[..., j, j][..., None]
+        zs.append(zj)
+        z = z - L[..., :, j][..., None] * zj[..., None, :]
+    z = jnp.stack(zs, axis=-2)  # [..., K, M]
+    # back substitution: L^T x = z
+    x = z
+    xs = [None] * K
+    for j in range(K - 1, -1, -1):
+        xj = x[..., j, :] / L[..., j, j][..., None]
+        xs[j] = xj
+        x = x - L[..., j, :][..., :, None] * xj[..., None, :]
+    return jnp.stack(xs, axis=-2), ok
+
+
+def _chol_solve_unrolled(A: jnp.ndarray, rhs: jnp.ndarray):
+    """Fully unrolled batched Cholesky solve for small static K.
+
+    XLA's batched Cholesky/triangular-solve custom calls cost ~100-200 ms
+    for [10k, 5, 5] f64 on this TPU backend; unrolling the K^2/2 multiply-
+    adds into plain elementwise ops over the batch lanes turns the whole
+    solve into fused VPU code (micro-seconds at the same shape). Negative
+    or zero pivots produce NaN/Inf naturally (sqrt/div), which the caller's
+    finite-check turns into the eigh fallback — the same failure semantics
+    as the reference's Cholesky error path (src/least_squares.rs:287-328).
+
+    Args:
+        A: [..., K, K] symmetric.
+        rhs: [..., K, M].
+    Returns:
+        (solution [..., K, M], ok [...] bool lanes where the factor is finite)
+    """
+    K = A.shape[-1]
+    a = [[A[..., i, j] for j in range(i + 1)] for i in range(K)]
+    L = [[None] * (i + 1) for i in range(K)]
+    inv_d = [None] * K
+    for j in range(K):
+        s = a[j][j]
+        for m in range(j):
+            s = s - L[j][m] * L[j][m]
+        d = jnp.sqrt(s)  # NaN if not PD — caught by the finite check
+        L[j][j] = d
+        inv_d[j] = 1.0 / d
+        for i in range(j + 1, K):
+            s = a[i][j]
+            for m in range(j):
+                s = s - L[i][m] * L[j][m]
+            L[i][j] = s * inv_d[j]
+    ok = jnp.isfinite(L[K - 1][K - 1])
+    for i in range(K - 1):
+        for j in range(i + 1):
+            ok = ok & jnp.isfinite(L[i][j])
+
+    e = lambda x: x[..., None]  # broadcast a [...] factor over the M axis
+    b = [rhs[..., i, :] for i in range(K)]
+    z = [None] * K
+    for i in range(K):
+        s = b[i]
+        for m in range(i):
+            s = s - e(L[i][m]) * z[m]
+        z[i] = s * e(inv_d[i])
+    x = [None] * K
+    for i in range(K - 1, -1, -1):
+        s = z[i]
+        for m in range(i + 1, K):
+            s = s - e(L[m][i]) * x[m]
+        x[i] = s * e(inv_d[i])
+    return jnp.stack(x, axis=-2), ok
+
+
 def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched Cholesky solve of PSD systems with eigh-pinv fallback.
 
@@ -55,12 +161,19 @@ def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     with LU/SVD fallback on failure, src/least_squares.rs:277-337), made
     branchless per batch element: lanes whose Cholesky produced non-finite
     values take the eigh pseudo-solve result instead. The fallback pass only
-    runs (via lax.cond) when at least one lane failed.
+    runs (via lax.cond) when at least one lane failed. Small K uses the
+    unrolled VPU factorization (no XLA custom call).
     """
-    L = jnp.linalg.cholesky(A)
-    ok = jnp.isfinite(L).all(axis=(-2, -1))
+    k = A.shape[-1]
     rhs = b[..., None] if b.ndim == A.ndim - 1 else b
-    sol = jax.scipy.linalg.cho_solve((L, True), jnp.where(ok[..., None, None], rhs, 0.0))
+    if k <= _UNROLL_MAX_K:
+        sol, ok = _chol_solve_vectorized(A, rhs)
+    else:
+        L = jnp.linalg.cholesky(A)
+        ok = jnp.isfinite(L).all(axis=(-2, -1))
+        sol = jax.scipy.linalg.cho_solve(
+            (L, True), jnp.where(ok[..., None, None], rhs, 0.0)
+        )
     sol = jnp.where(jnp.isfinite(sol), sol, 0.0)
 
     def with_fallback(_):
