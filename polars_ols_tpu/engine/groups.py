@@ -56,6 +56,14 @@ def _factorize_numeric(vals: np.ndarray) -> np.ndarray:
         ints = vals.astype(np.int64)
         if np.all(ints.astype(vals.dtype) == vals):
             vals = ints
+        elif not np.isnan(vals).any():
+            # non-integral floats: factorize the canonicalized bit pattern
+            # (+0.0 == -0.0; bit equality == value equality without NaNs),
+            # then remap first-seen ids to sorted-unique order in native.py
+            canon = np.where(vals == 0.0, 0.0, vals.astype(np.float64))
+            out = native_factorize(canon.view(np.int64), sort_keys=canon)
+            if out is not None:
+                return out
     if np.issubdtype(vals.dtype, np.integer):
         out = native_factorize(vals.astype(np.int64))
         if out is not None:

@@ -27,7 +27,21 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "native", "libpols_native.so")
+    native_dir = os.path.join(os.path.dirname(__file__), "native")
+    path = os.path.join(native_dir, "libpols_native.so")
+    if not os.path.exists(path):
+        # build once, best-effort (g++ is part of the supported toolchain)
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", native_dir],
+                capture_output=True,
+                timeout=120,
+                check=False,
+            )
+        except (OSError, subprocess.TimeoutExpired):
+            pass
     if not os.path.exists(path):
         return None
     try:
@@ -44,12 +58,15 @@ def _load():
     return _LIB
 
 
-def native_factorize(keys: np.ndarray) -> Optional[np.ndarray]:
+def native_factorize(
+    keys: np.ndarray, sort_keys: Optional[np.ndarray] = None
+) -> Optional[np.ndarray]:
     """Dense-factorize int64 keys into group ids in first-seen order.
 
     Returns None when the native library is unavailable (caller falls back
     to numpy). First-seen order is remapped to sorted-unique order to match
-    numpy.unique semantics.
+    numpy.unique semantics; ``sort_keys`` supplies the value used for that
+    ordering when ``keys`` are raw bit patterns (e.g. of floats).
     """
     lib = _load()
     if lib is None:
@@ -64,7 +81,8 @@ def native_factorize(keys: np.ndarray) -> Optional[np.ndarray]:
     if n_groups < 0:
         return None
     # remap first-seen ids -> ids sorted by key value (numpy.unique order)
+    order_vals = keys if sort_keys is None else sort_keys
     first_pos = np.full(n_groups, len(keys), dtype=np.int64)
     np.minimum.at(first_pos, out, np.arange(len(keys), dtype=np.int64))
-    remap = np.argsort(np.argsort(keys[first_pos]))
+    remap = np.argsort(np.argsort(order_vals[first_pos]))
     return remap[out]

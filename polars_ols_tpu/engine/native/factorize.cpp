@@ -1,0 +1,95 @@
+// Native host-side runtime helpers for the TPU least-squares engine.
+//
+// The reference keeps its host-side group hashing inside polars' Rust
+// engine (reference layer L3; SURVEY §1). Our equivalent: an O(N)
+// open-addressing hash table that factorizes group keys into dense ids in
+// one pass — the host step that precedes every grouped solve and feeds the
+// device layout builder. numpy's unique() is sort-based (O(N log N), ~160ms
+// at 2M keys); this runs at memory speed.
+//
+// Exposed via a plain C ABI for ctypes (engine/native.py). No Python.h
+// dependency — the library is pure C++ and is loaded with dlopen.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// 64-bit mix (splitmix64 finalizer) — avalanches low-entropy integer keys.
+inline uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+inline uint64_t next_pow2(uint64_t v) {
+  v--;
+  v |= v >> 1; v |= v >> 2; v |= v >> 4;
+  v |= v >> 8; v |= v >> 16; v |= v >> 32;
+  return v + 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Factorize int64 keys into dense group ids in FIRST-SEEN order.
+// out[i] = id of keys[i]; returns the number of distinct keys, or -1 on
+// allocation failure. Python remaps first-seen -> sorted order to match
+// numpy.unique semantics (engine/native.py).
+int64_t pols_factorize_i64(const int64_t* keys, int64_t n, int64_t* out) {
+  if (n <= 0) return 0;
+  uint64_t cap = next_pow2(static_cast<uint64_t>(n) * 2);
+  if (cap < 16) cap = 16;
+  const uint64_t mask = cap - 1;
+  struct Slot { int64_t key; int64_t id; };
+  std::vector<Slot> table;
+  std::vector<uint8_t> used;
+  try {
+    table.resize(cap);
+    used.assign(cap, 0);
+  } catch (...) {
+    return -1;
+  }
+  int64_t n_groups = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t k = keys[i];
+    uint64_t h = mix64(static_cast<uint64_t>(k)) & mask;
+    for (;;) {
+      if (!used[h]) {
+        used[h] = 1;
+        table[h].key = k;
+        table[h].id = n_groups;
+        out[i] = n_groups++;
+        break;
+      }
+      if (table[h].key == k) {
+        out[i] = table[h].id;
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+  return n_groups;
+}
+
+// Same, for raw 64-bit key material (e.g. canonicalized f64 bit patterns or
+// pre-hashed multi-column keys).
+int64_t pols_factorize_u64(const uint64_t* keys, int64_t n, int64_t* out) {
+  return pols_factorize_i64(reinterpret_cast<const int64_t*>(keys), n, out);
+}
+
+// Combine two id columns into one (row-major pairing) without overflow:
+// pair ids through a hash of (a, b). Used for multi-key group_by.
+void pols_hash_pair(const int64_t* a, const int64_t* b, int64_t n,
+                    uint64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t h = mix64(static_cast<uint64_t>(a[i]));
+    h = mix64(h ^ static_cast<uint64_t>(b[i]));
+    out[i] = h;
+  }
+}
+
+}  // extern "C"
