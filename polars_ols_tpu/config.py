@@ -40,6 +40,41 @@ class Config:
             os.environ.get("POLS_TPU_PAD_WASTE", 4.0)
         )
         self.interpret_pallas = bool(int(os.environ.get("POLS_TPU_INTERPRET", "0")))
+        # overrides for the lazy accelerator-only defaults below
+        self._use_ozaki = _env_flag("POLS_TPU_OZAKI")
+        self._pair_gather = _env_flag("POLS_TPU_PAIR_GATHER")
+
+    @property
+    def use_ozaki(self) -> bool:
+        """int8 digit-matmul moments (ops/ozaki.py): exact to ~2^-58, runs
+        on the int8 MXU path instead of emulated f64 matmul. Default: on
+        for accelerator backends, off on CPU (native f64 is already fast).
+        Override with POLS_TPU_OZAKI=0/1 or CONFIG.use_ozaki = True."""
+        if self._use_ozaki is None:
+            self._use_ozaki = jax.default_backend() != "cpu"
+        return self._use_ozaki
+
+    @use_ozaki.setter
+    def use_ozaki(self, v) -> None:
+        self._use_ozaki = bool(v)
+
+    @property
+    def pair_gather(self) -> bool:
+        """Gather f64 row data as f32 (hi, lo) pairs — same bytes, ~2x
+        faster gathers on TPU; reconstruction exact to 2^-48 (output-only
+        path). Override with POLS_TPU_PAIR_GATHER=0/1."""
+        if self._pair_gather is None:
+            self._pair_gather = jax.default_backend() != "cpu"
+        return self._pair_gather
+
+    @pair_gather.setter
+    def pair_gather(self, v) -> None:
+        self._pair_gather = bool(v)
+
+
+def _env_flag(name: str):
+    env = os.environ.get(name)
+    return None if env is None else bool(int(env))
 
 
 CONFIG = Config()

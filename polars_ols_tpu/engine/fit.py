@@ -171,6 +171,19 @@ def _build_blocks(vals, valid, gather, pmask, policy: str, S: int, R: int):
     return Zp[..., :-1], wp, problem.predict_valid
 
 
+def _unpad_preds(preds_blocks, unpad_idx):
+    """Row-order gather of block predictions; as f32 (hi, lo) pairs when
+    configured (same bytes, ~2x faster on TPU, exact to 2^-48)."""
+    flat = preds_blocks.reshape(-1)
+    if not CONFIG.pair_gather:
+        return jnp.take(flat, unpad_idx, axis=0)
+    hi = flat.astype(jnp.float32)
+    lo = (flat - hi.astype(F64)).astype(jnp.float32)
+    pairs = jnp.stack([hi, lo], axis=-1)  # [S*R, 2]
+    out = jnp.take(pairs, unpad_idx, axis=0)
+    return out[:, 0].astype(F64) + out[:, 1].astype(F64)
+
+
 @partial(jax.jit, static_argnames=("num_groups", "alpha", "want"))
 def _blocks_fit_kernel(
     Zp,  # [S, R, 1+K] target in slot 0
@@ -197,24 +210,67 @@ def _blocks_fit_kernel(
         return jnp.take(beta, gids, axis=0)
     beta_blocks = jnp.take(beta, block_group, axis=0)  # [S, K]
     preds_blocks = jnp.einsum("srk,sk->sr", Xp, beta_blocks)
-    return jnp.take(preds_blocks.reshape(-1), unpad_idx, axis=0)
+    return _unpad_preds(preds_blocks, unpad_idx)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want"))
+def _blocks_fit_kernel_ozaki(
+    Zp,  # [S, R, 1+K] target in slot 0 (used for block predictions)
+    digits,  # [D, S, R, 1+K] int8 digit planes (padding rows zeroed)
+    scales,  # [S, 1+K] f64
+    wp,  # [S, R]
+    block_group,  # [S]
+    unpad_idx,  # [N]
+    gids,  # [N]
+    num_groups: int,
+    alpha: float,
+    want: str,
+):
+    """Digit-matmul variant of `_blocks_fit_kernel`: the full moment matrix
+    Z^T diag(w) Z comes from exact int8 MXU matmuls (ops/ozaki.py) instead
+    of emulated-f64 batched matmul. Target is Zp's column 0, so XtX is the
+    trailing KxK block and Xty the first column's tail."""
+    from ..ops.ozaki import moments_from_digits
+
+    K = Zp.shape[-1] - 1
+    M, _ = moments_from_digits(digits, scales, wp, block_group, num_groups)
+    XtX = M[:, 1:, 1:]
+    Xty = M[:, 1:, 0]
+    A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+    beta = solve_psd(A, Xty)
+    if want == "beta":
+        return beta
+    if want == "rows":
+        return jnp.take(beta, gids, axis=0)
+    beta_blocks = jnp.take(beta, block_group, axis=0)
+    preds_blocks = jnp.einsum("srk,sk->sr", Zp[..., 1:], beta_blocks)
+    return _unpad_preds(preds_blocks, unpad_idx)
 
 
 def _blocks_cached(layout, vals, valid, policy: str):
     """Materialized-partition cache: one padded gather per (columns, layout,
-    policy); steady-state queries reuse the device-resident blocks."""
+    policy); steady-state queries reuse the device-resident blocks. When the
+    int8 digit-moment path is enabled and inputs are null-free, the digit
+    decomposition (ops/ozaki.py) is cached alongside."""
     g, pmask, block_group, S = _split_layout(layout)
     R = pmask.shape[1]
     key = ("blocks", id(vals), id(valid), policy, R)
     if key not in layout._dev:
         Zp, wp, predict_valid = _build_blocks(vals, valid, g, pmask, policy, S, R)
+        digits = scales = None
+        if valid is None and CONFIG.use_ozaki:
+            from ..ops.ozaki import decompose_blocks
+
+            digits, scales = decompose_blocks(Zp, wp)
         if len([k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]) >= 4:
             for k in [k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]:
                 del layout._dev[k]
         # hold refs to vals/valid so the ids in `key` stay valid
-        layout._dev[key] = (Zp, wp, predict_valid, block_group, vals, valid)
-    Zp, wp, predict_valid, block_group, _, _ = layout._dev[key]
-    return Zp, wp, predict_valid, block_group
+        layout._dev[key] = (
+            Zp, wp, predict_valid, block_group, digits, scales, vals, valid,
+        )
+    Zp, wp, predict_valid, block_group, digits, scales, _, _ = layout._dev[key]
+    return Zp, wp, predict_valid, block_group, digits, scales
 
 
 def _pick_chunk(G: int, k: int) -> int:
@@ -373,18 +429,23 @@ def evaluate_least_squares(
             )
             if blocks_ok:
                 r_cap = _split_layout(layout)[1].shape[1]
-                Zp, wp, predict_valid, block_group = _blocks_cached(
-                    layout, vals, valid, policy
+                Zp, wp, predict_valid, block_group, digits, scales = (
+                    _blocks_cached(layout, vals, valid, policy)
                 )
-                args = (
-                    Zp, wp, block_group,
+                tail = (
+                    wp, block_group,
                     layout.device_split_unpad(r_cap), layout.device_gids(),
                 )
+                if digits is not None:
+                    fit = lambda want: _blocks_fit_kernel_ozaki(
+                        Zp, digits, scales, *tail, G, alpha, want
+                    )
+                else:
+                    fit = lambda want: _blocks_fit_kernel(Zp, *tail, G, alpha, want)
                 if mode == "coefficients":
-                    want = "beta" if layout_in is None else "rows"
-                    beta = _blocks_fit_kernel(*args, G, alpha, want)
+                    beta = fit("beta" if layout_in is None else "rows")
                     return _coef_struct(beta, names)
-                preds = _blocks_fit_kernel(*args, G, alpha, "preds")
+                preds = fit("preds")
                 return Series(out_name, preds, predict_valid)
             if G == 1:
                 g = pmask = block_group = None
