@@ -171,6 +171,19 @@ def _build_blocks(vals, valid, gather, pmask, policy: str, S: int, R: int):
     return Zp[..., :-1], wp, problem.predict_valid
 
 
+def _block_preds(Xp, beta_blocks):
+    """Block predictions as unrolled elementwise multiply-adds.
+
+    An einsum here lowers to the emulated-f64 MXU path (~50 ms at 8M rows);
+    f64 *elementwise* ops run at full VPU rate on this backend, so the tiny
+    K-contraction is unrolled into K fused multiply-adds instead."""
+    K = Xp.shape[-1]
+    acc = Xp[..., 0] * beta_blocks[:, None, 0]
+    for k in range(1, K):
+        acc = acc + Xp[..., k] * beta_blocks[:, None, k]
+    return acc
+
+
 def _unpad_preds(preds_blocks, unpad_idx):
     """Row-order gather of block predictions; as f32 (hi, lo) pairs when
     configured (same bytes, ~2x faster on TPU, exact to 2^-48)."""
@@ -209,7 +222,7 @@ def _blocks_fit_kernel(
     if want == "rows":
         return jnp.take(beta, gids, axis=0)
     beta_blocks = jnp.take(beta, block_group, axis=0)  # [S, K]
-    preds_blocks = jnp.einsum("srk,sk->sr", Xp, beta_blocks)
+    preds_blocks = _block_preds(Xp, beta_blocks)
     return _unpad_preds(preds_blocks, unpad_idx)
 
 
@@ -243,7 +256,7 @@ def _blocks_fit_kernel_ozaki(
     if want == "rows":
         return jnp.take(beta, gids, axis=0)
     beta_blocks = jnp.take(beta, block_group, axis=0)
-    preds_blocks = jnp.einsum("srk,sk->sr", Zp[..., 1:], beta_blocks)
+    preds_blocks = _block_preds(Zp[..., 1:], beta_blocks)
     return _unpad_preds(preds_blocks, unpad_idx)
 
 
