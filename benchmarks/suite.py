@@ -1,0 +1,113 @@
+"""Model-family benchmark suite mirroring the reference's tests/benchmark.py.
+
+Times fit + predict for every model family at the reference's two README
+configurations (2,000 x 5 and 10,000 x 100; /root/reference/README.md:
+204-236) plus the grouped configuration the TPU engine is built for.
+Reference wall times are the published Apple M2 Max numbers (BASELINE.md).
+
+Run: python benchmarks/suite.py [--config small|large|grouped|all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import polars_ols_tpu as pls
+from polars_ols_tpu import OLSKwargs, RLSKwargs, RollingKwargs, col
+
+
+# published reference wall times in ms (BASELINE.md; Apple M2 Max)
+REFERENCE_MS = {
+    "small": {
+        "ols_qr": 0.195, "ols_svd": 0.247, "ridge_chol": 0.171,
+        "ridge_svd": 0.238, "wls": 0.334, "elastic_net": 0.227,
+        "rls": 1.12, "rolling": 1.99,
+    },
+    "large": {
+        "ols_qr": 17.6, "ols_svd": 23.8, "ridge_chol": 5.36,
+        "ridge_svd": 30.2, "wls": 18.8, "elastic_net": 22.7,
+        "rls": 270.0, "rolling": 371.0,
+    },
+}
+
+
+def _make_df(n: int, k: int, n_groups=None, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, k))
+    y = x.sum(axis=1) + rng.normal(size=n, scale=0.1)
+    data = {"y": y, **{f"x{i+1}": x[:, i] for i in range(k)}}
+    data["w"] = rng.random(n) + 0.1
+    if n_groups:
+        data["g"] = rng.integers(n_groups, size=n).astype(float)
+    return pls.DataFrame(data)
+
+
+def _time(fn, reps=5):
+    fn()  # compile + warm caches
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        np.asarray(out.values[-2:])  # sync without a full-output fetch
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _queries(df, k: int, grouped: bool):
+    feats = [col(f"x{i+1}") for i in range(k)]
+    ls = col("y").least_squares
+
+    def over(e):
+        return e.over("g") if grouped else e
+
+    return {
+        "ols_qr": lambda: df.select(over(ls.ols(*feats, solve_method=None if grouped else "qr")))["y"],
+        "ols_svd": lambda: df.select(over(ls.ols(*feats, solve_method="svd")))["y"],
+        "ridge_chol": lambda: df.select(over(ls.ridge(*feats, alpha=0.1)))["y"],
+        "ridge_svd": lambda: df.select(over(ls.ridge(*feats, alpha=0.1, solve_method="svd")))["y"],
+        "wls": lambda: df.select(over(ls.wls(*feats, sample_weights=col("w"))))["y"],
+        "elastic_net": lambda: df.select(
+            over(ls.elastic_net(*feats, alpha=0.1, l1_ratio=0.5, max_iter=200))
+        )["y"],
+        "rls": lambda: df.select(over(ls.rls(*feats, half_life=252.0)))["y"],
+        "rolling": lambda: df.select(over(ls.rolling_ols(*feats, window_size=252)))["y"],
+    }
+
+
+def run_config(name: str, n: int, k: int, n_groups=None):
+    grouped = n_groups is not None
+    df = _make_df(n, k, n_groups)
+    ref = REFERENCE_MS.get(name, {})
+    print(f"\n## config '{name}': n={n:,} k={k}"
+          + (f" groups={n_groups:,}" if grouped else ""))
+    print(f"{'model':<14} {'this engine':>12} {'reference':>12} {'speedup':>9}")
+    for model, fn in _queries(df, k, grouped).items():
+        try:
+            ms = _time(fn) * 1e3
+        except Exception as e:  # pragma: no cover
+            print(f"{model:<14} FAILED: {str(e)[:60]}")
+            continue
+        r = ref.get(model)
+        rtxt = f"{r:12.3f}" if r else " " * 12
+        stxt = f"{r / ms:8.1f}x" if r else ""
+        print(f"{model:<14} {ms:10.3f}ms {rtxt} {stxt}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="all",
+                    choices=["small", "large", "grouped", "all"])
+    args = ap.parse_args()
+    if args.config in ("small", "all"):
+        run_config("small", 2_000, 5)
+    if args.config in ("large", "all"):
+        run_config("large", 10_000, 100)
+    if args.config in ("grouped", "all"):
+        run_config("grouped", 2_000_000, 5, n_groups=10_000)
+
+
+if __name__ == "__main__":
+    main()
