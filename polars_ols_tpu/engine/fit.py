@@ -260,6 +260,76 @@ def _blocks_fit_kernel_ozaki(
     return _unpad_preds(preds_blocks, unpad_idx)
 
 
+@partial(jax.jit, static_argnames=("num_groups", "alpha"))
+def _blocks_statistics_kernel(Zp, wp, block_group, num_groups: int, alpha: float):
+    """All model-quality statistics from the materialized partition in ONE
+    device program (the reference runs this once per group on the host;
+    src/expressions.rs:468-509, src/statistics.rs).
+
+    mse / r2 use the moment identities RSS = yty - 2 b'Xty + b'XtX b and
+    SST = yty - (sum y)^2 / n with the dispatch solver's beta; mae needs
+    per-row residuals and is accumulated block-wise; se/t/p come from the
+    ridge-aware normal-equation metrics (NaN lanes on non-PD systems)."""
+    K = Zp.shape[-1] - 1
+    yp, Xp = Zp[..., 0], Zp[..., 1:]
+    XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
+    wf = wp.astype(F64)
+    seg = lambda v: jax.ops.segment_sum(v, block_group, num_segments=num_groups)
+    yty = seg((yp * yp * wf).sum(axis=1))
+    sumy = seg((yp * wf).sum(axis=1))
+    fm = feature_metrics(XtX, Xty, yty, counts, alpha)
+
+    A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+    beta = solve_psd(A, Xty)  # dispatch solver's estimate (with fallback)
+    bb = jnp.take(beta, block_group, axis=0)  # [S, K]
+    resid = yp - _block_preds(Xp, bb)
+    sae = seg((jnp.abs(resid) * wf).sum(axis=1))
+    rss = (
+        yty
+        - 2.0 * jnp.einsum("gk,gk->g", beta, Xty)
+        + jnp.einsum("gk,gkl,gl->g", beta, XtX, beta)
+    )
+    n_safe = jnp.maximum(counts, 1.0)
+    sst = yty - sumy * sumy / n_safe
+    return {
+        "coefficients": beta,
+        "mse": rss / n_safe,
+        "mae": sae / n_safe,
+        "r2": 1.0 - rss / sst,
+        "standard_errors": fm["standard_errors"],
+        "t_values": fm["t_values"],
+        "p_values": fm["p_values"],
+    }
+
+
+def _statistics_blocks(layout, vals, valid, policy, kwargs, names, layout_in):
+    """Fast statistics path: cached partition + one fused kernel + a single
+    small host fetch; output rows mirror the reference's statistics struct."""
+    Zp, wp, _, block_group, _, _ = _blocks_cached(layout, vals, valid, policy)
+    out = _blocks_statistics_kernel(
+        Zp, wp, block_group, layout.num_groups, float(kwargs.alpha or 0.0)
+    )
+    host = {k_: np.asarray(v) for k_, v in out.items()}
+    rows = []
+    for g in range(layout.num_groups):
+        rows.append(
+            {
+                "r2": float(host["r2"][g]),
+                "mae": float(host["mae"][g]),
+                "mse": float(host["mse"][g]),
+                "feature_names": list(names),
+                "coefficients": host["coefficients"][g].tolist(),
+                "standard_errors": host["standard_errors"][g].tolist(),
+                "t_values": host["t_values"][g].tolist(),
+                "p_values": host["p_values"][g].tolist(),
+            }
+        )
+    out_series = ObjectSeries("statistics", rows)
+    if layout_in is not None:
+        out_series = out_series.gather(layout.gids)
+    return out_series
+
+
 def _blocks_cached(layout, vals, valid, policy: str):
     """Materialized-partition cache: one padded gather per (columns, layout,
     policy); steady-state queries reuse the device-resident blocks. When the
@@ -428,13 +498,16 @@ def evaluate_least_squares(
         function_name == "least_squares"
         and not multi_target
         and not isinstance(target, StructSeries)
-        and mode != "statistics"
     ):
         method = _resolve_method(layout, kwargs, k)
         if method in ("chol", "lu"):
             vals, valid = _stack_cached(target, feat_series)
             alpha = float(kwargs.alpha or 0.0)
             names = [s.name for s in feat_series]
+            if mode == "statistics":
+                return _statistics_blocks(
+                    layout, vals, valid, policy, kwargs, names, layout_in
+                )
             # block predictions reuse fit-side features; valid whenever the
             # predict features coincide with (or are masked over) fit ones
             blocks_ok = G > 1 and (

@@ -811,3 +811,31 @@ def test_least_squares_statistics():
     assert np.allclose(exploded["standard_errors"].to_numpy(), res["se"])
     assert np.allclose(exploded["t_values"].to_numpy(), res["t"])
     assert np.allclose(exploded["p_values"].to_numpy(), res["p"])
+
+
+def test_statistics_grouped_skewed():
+    """Statistics over skewed group sizes (BASELINE config 5): each group's
+    struct row matches the host oracle computed on that group alone."""
+    rng = np.random.default_rng(7)
+    n = 3_000
+    x = rng.normal(size=(n, 2))
+    y = x @ np.asarray([1.5, -0.5]) + rng.normal(size=n, scale=0.3)
+    # skew: one giant group, a few mid, many tiny
+    g = np.zeros(n, dtype=np.int64)
+    g[2000:2600] = np.arange(600) % 3 + 1
+    g[2600:] = np.arange(400) % 50 + 4
+    df = pot.DataFrame({"y": y, "x1": x[:, 0], "x2": x[:, 1], "g": g.astype(float)})
+    stats = df.select(
+        col("y").least_squares.ols("x1", "x2", mode="statistics").over("g"),
+        pot.col("g"),
+    )
+    rows = stats["statistics"].values
+    for gi in np.unique(g):
+        m = g == gi
+        row = rows[int(np.nonzero(m)[0][0])]
+        res = oracles.ols_statistics(x[m], y[m])
+        np.testing.assert_allclose(row["coefficients"], res["coef"], rtol=1e-8)
+        np.testing.assert_allclose(row["standard_errors"], res["se"], rtol=1e-7)
+        np.testing.assert_allclose(row["t_values"], res["t"], rtol=1e-7)
+        np.testing.assert_allclose(row["p_values"], res["p"], rtol=1e-6, atol=1e-12)
+        assert row["r2"] == pytest.approx(res["r2"], rel=1e-8)
