@@ -43,6 +43,10 @@ class Config:
         # overrides for the lazy accelerator-only defaults below
         self._use_ozaki = _env_flag("POLS_TPU_OZAKI")
         self._pair_gather = _env_flag("POLS_TPU_PAIR_GATHER")
+        # fused Pallas digit-moment kernel (ops/pallas_moments.py). Off by
+        # default: the current axon backend rejects gridded Mosaic kernels;
+        # enable on full-Mosaic TPU backends with POLS_TPU_PALLAS=1.
+        self.use_pallas_moments = bool(int(os.environ.get("POLS_TPU_PALLAS", "0")))
 
     @property
     def use_ozaki(self) -> bool:

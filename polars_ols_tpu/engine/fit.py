@@ -243,7 +243,10 @@ def _blocks_fit_kernel_ozaki(
     Z^T diag(w) Z comes from exact int8 MXU matmuls (ops/ozaki.py) instead
     of emulated-f64 batched matmul. Target is Zp's column 0, so XtX is the
     trailing KxK block and Xty the first column's tail."""
-    from ..ops.ozaki import moments_from_digits
+    if CONFIG.use_pallas_moments:
+        from ..ops.pallas_moments import moments_from_digits_pallas as moments_from_digits
+    else:
+        from ..ops.ozaki import moments_from_digits
 
     K = Zp.shape[-1] - 1
     M, _ = moments_from_digits(digits, scales, wp, block_group, num_groups)

@@ -78,3 +78,29 @@ def test_ridge_with_ozaki_matches_normal_equations(force_tpu_paths):
         m = gids == gi
         beta = np.linalg.solve(X[m].T @ X[m] + alpha * np.eye(k), X[m].T @ y[m])
         np.testing.assert_allclose(preds[m], X[m] @ beta, rtol=1e-8, atol=1e-10)
+
+
+def test_pallas_moment_kernel_matches_xla(force_tpu_paths):
+    """The fused Pallas digit-moment kernel (interpret mode on CPU) agrees
+    with the XLA formulation of the same algorithm."""
+    from polars_ols_tpu.ops.pallas_moments import moments_from_digits_pallas
+
+    CONFIG.interpret_pallas = True
+    try:
+        rng = np.random.default_rng(3)
+        S, R, C, G = 16, 128, 5, 4
+        Zp = rng.normal(size=(S, R, C)) * np.exp(rng.normal(size=(1, 1, C)) * 3)
+        wp = rng.random((S, R)) > 0.1
+        bg = (np.arange(S) % G).astype(np.int32)
+        Zcat, m = decompose_blocks(jnp.asarray(Zp), jnp.asarray(wp))
+        M_x, c_x = moments_from_digits(Zcat, m, jnp.asarray(wp), jnp.asarray(bg), G)
+        M_p, c_p = moments_from_digits_pallas(
+            Zcat, m, jnp.asarray(wp), jnp.asarray(bg), G
+        )
+        np.testing.assert_allclose(
+            np.asarray(M_p), np.asarray(M_x), rtol=5e-13,
+            atol=1e-13 * float(np.abs(np.asarray(M_x)).max()),
+        )
+        np.testing.assert_array_equal(np.asarray(c_x), np.asarray(c_p))
+    finally:
+        CONFIG.interpret_pallas = False
