@@ -47,6 +47,10 @@ class Config:
         # default: the current axon backend rejects gridded Mosaic kernels;
         # enable on full-Mosaic TPU backends with POLS_TPU_PALLAS=1.
         self.use_pallas_moments = bool(int(os.environ.get("POLS_TPU_PALLAS", "0")))
+        # route grouped normal-equation fits through the mesh-sharded
+        # engine (parallel/sharded.py) when >1 device is visible: rows stay
+        # in place, partial moments psum_scatter-merge across shards.
+        self.auto_shard = bool(int(os.environ.get("POLS_TPU_AUTO_SHARD", "0")))
 
     @property
     def use_ozaki(self) -> bool:

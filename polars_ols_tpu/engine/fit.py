@@ -511,6 +511,30 @@ def evaluate_least_squares(
                 return _statistics_blocks(
                     layout, vals, valid, policy, kwargs, names, layout_in
                 )
+            # multi-chip: distribute the grouped fit across every visible
+            # device (rows stay sharded where they land; psum_scatter merges
+            # partial moments exactly — SURVEY §2.3 DP row)
+            if (
+                CONFIG.auto_shard
+                and jax.device_count() > 1
+                and G > 1
+                and valid is None
+            ):
+                from ..parallel import fit_moments_sharded, make_mesh
+
+                beta, preds = fit_moments_sharded(
+                    make_mesh(),
+                    vals[:, 1:],
+                    vals[:, 0],
+                    jnp.ones(n, dtype=bool),
+                    layout.device_gids(),
+                    num_groups=G,
+                    alpha=alpha,
+                )
+                if mode == "coefficients":
+                    rows = beta if layout_in is None else _gather_per_row(layout, beta)
+                    return _coef_struct(rows, names)
+                return Series(out_name, preds, None)
             # block predictions reuse fit-side features; valid whenever the
             # predict features coincide with (or are masked over) fit ones
             blocks_ok = G > 1 and (

@@ -140,3 +140,32 @@ def test_expression_api_agrees_with_sharded_fit():
     np.testing.assert_allclose(
         np.asarray(coef.values), np.asarray(beta)[gids], rtol=1e-7, atol=1e-9
     )
+
+
+def test_auto_shard_expression_api():
+    """CONFIG.auto_shard routes grouped fits through the mesh engine with
+    identical results to the single-device path."""
+    from polars_ols_tpu import CONFIG
+
+    X, y, gids = _grouped_data(n=2_000, k=3, g=9)
+    df = pot.DataFrame(
+        {"y": y, "x1": X[:, 0], "x2": X[:, 1], "x3": X[:, 2],
+         "g": gids.astype(float)}
+    )
+    expr = pot.col("y").least_squares.ols("x1", "x2", "x3").over("g")
+    single = df.select(expr)["y"].to_numpy()
+    try:
+        CONFIG.auto_shard = True
+        sharded = df.select(expr)["y"].to_numpy()
+        coefs = df.select(
+            pot.col("y").least_squares.ols("x1", "x2", "x3",
+                                           mode="coefficients").over("g")
+        )["coefficients"]
+    finally:
+        CONFIG.auto_shard = False
+    np.testing.assert_allclose(sharded, single, rtol=1e-10, atol=1e-12)
+    cm = np.asarray(coefs.values)
+    for gi in range(9):
+        m = gids == gi
+        expected = np.linalg.lstsq(X[m], y[m], rcond=None)[0]
+        np.testing.assert_allclose(cm[m][0], expected, rtol=1e-8, atol=1e-9)
