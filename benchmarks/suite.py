@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 import polars_ols_tpu as pls
-from polars_ols_tpu import OLSKwargs, RLSKwargs, RollingKwargs, col
+from polars_ols_tpu import col
 
 
 # published reference wall times in ms (BASELINE.md; Apple M2 Max)

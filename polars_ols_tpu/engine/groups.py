@@ -20,7 +20,7 @@ integer keys uses its O(N) hash table instead of numpy's sort-based unique.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

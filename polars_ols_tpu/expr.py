@@ -15,7 +15,7 @@ program over a [num_groups, ...] layout.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Union
 
 import numpy as np
 

@@ -13,8 +13,6 @@ so fp64 coefficient parity with numpy.linalg.lstsq is preserved end-to-end.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
