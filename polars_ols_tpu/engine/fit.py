@@ -405,6 +405,43 @@ def _stack_cached(target, feat_series):
     return out
 
 
+@jax.jit
+def _weight_vectors(w_vals, w_valid):
+    """sqrt-weight and its reciprocal; nulls -> EPSILON (reference
+    least_squares.py:190-196, _EPSILON :63)."""
+    from ..config import EPSILON
+
+    sq = jnp.where(w_valid, jnp.sqrt(w_vals), EPSILON)
+    return sq, 1.0 / sq
+
+
+def _weighted_stack_cached(target, feat_series, weights):
+    """Weighted (values, validity, sqrt_w, inv_sqrt_w) stack: the WLS
+    sqrt-weight scaling folded into ONE device op over the whole [N, 1+K]
+    stack instead of one expression kernel per column; memoized alongside
+    the unweighted stack."""
+    vals, valid = _stack_cached(target, feat_series)
+    cache = getattr(target, "_layout_cache", None)
+    key = ("wstack", id(vals), id(weights))
+    if cache is not None and key in cache:
+        return cache[key][0]
+    sq, inv = _weight_vectors(
+        jnp.asarray(weights.values, dtype=F64), weights.valid_mask()
+    )
+    vals_w = vals * sq[:, None]
+    out = (vals_w, valid, sq, inv)
+    try:
+        if cache is None:
+            cache = {}
+            object.__setattr__(target, "_layout_cache", cache)
+        if len(cache) >= _STACK_CACHE_LIMIT:
+            cache.pop(next(iter(cache)))
+        cache[key] = (out, weights)
+    except AttributeError:
+        pass
+    return out
+
+
 def _extract(target, feat_series):
     names = [s.name for s in feat_series]
     X = jnp.stack([jnp.asarray(s.values, dtype=F64) for s in feat_series], axis=1)
@@ -430,7 +467,6 @@ def _resolve_method(layout, kwargs, k: int) -> str:
         bool(kwargs.positive),
         int(layout.counts.max()),
         k,
-        grouped=layout.num_groups > 1,
     )
 
 
@@ -487,6 +523,7 @@ def evaluate_least_squares(
     mode: str,
     layout_in,
     multi_target: bool = False,
+    weights=None,
 ):
     n = len(target)
     k = len(feat_series)
@@ -504,7 +541,13 @@ def evaluate_least_squares(
     ):
         method = _resolve_method(layout, kwargs, k)
         if method in ("chol", "lu"):
-            vals, valid = _stack_cached(target, feat_series)
+            inv_w = None
+            if weights is not None:
+                vals, valid, _, inv_w = _weighted_stack_cached(
+                    target, feat_series, weights
+                )
+            else:
+                vals, valid = _stack_cached(target, feat_series)
             alpha = float(kwargs.alpha or 0.0)
             names = [s.name for s in feat_series]
             if mode == "statistics":
@@ -534,6 +577,8 @@ def evaluate_least_squares(
                 if mode == "coefficients":
                     rows = beta if layout_in is None else _gather_per_row(layout, beta)
                     return _coef_struct(rows, names)
+                if inv_w is not None:
+                    preds = preds * inv_w
                 return Series(out_name, preds, None)
             # block predictions reuse fit-side features; valid whenever the
             # predict features coincide with (or are masked over) fit ones
@@ -559,6 +604,8 @@ def evaluate_least_squares(
                     beta = fit("beta" if layout_in is None else "rows")
                     return _coef_struct(beta, names)
                 preds = fit("preds")
+                if inv_w is not None:
+                    preds = preds * inv_w
                 return Series(out_name, preds, predict_valid)
             if G == 1:
                 g = pmask = block_group = None
@@ -570,10 +617,24 @@ def evaluate_least_squares(
                 beta = _chol_fit_kernel(*args, G, alpha, policy, want)
                 return _coef_struct(beta, names)
             preds, predict_valid = _chol_fit_kernel(*args, G, alpha, policy, "preds")
+            if inv_w is not None:
+                preds = preds * inv_w
             return Series(out_name, preds, predict_valid)
 
     y, yv, X, xv, names, target_names = _extract(target, feat_series)
     problem = masking.prepare_problem(policy, y, yv, X, xv, moving=moving)
+    inv_w = None
+    if weights is not None:
+        sq, inv_w = _weight_vectors(
+            jnp.asarray(weights.values, dtype=F64), weights.valid_mask()
+        )
+        problem = masking.MaskedProblem(
+            problem.y * (sq if problem.y.ndim == 1 else sq[:, None]),
+            problem.X * sq[:, None],
+            problem.fit_mask,
+            problem.X_predict * sq[:, None],
+            problem.predict_valid,
+        )
 
     if function_name == "least_squares":
         if mode == "statistics":
@@ -588,7 +649,10 @@ def evaluate_least_squares(
         coef_rows = (
             jnp.broadcast_to(beta[0], (n, k)) if G == 1 else _gather_per_row(layout, beta)
         )
-        return _predictions(problem, coef_rows, out_name)
+        out = _predictions(problem, coef_rows, out_name)
+        if inv_w is not None:
+            out = Series(out_name, out.values * inv_w, out.validity)
+        return out
 
     if moving:
         (Xp, yp), vp = _pad_rows(layout, [problem.X, problem.y], problem.fit_mask)

@@ -345,6 +345,7 @@ class LeastSquaresExpr(Expr):
         kwargs,
         mode: str,
         multi_target: bool = False,
+        weights: "Expr" = None,
     ):
         self.function_name = function_name
         self.target = target
@@ -352,6 +353,7 @@ class LeastSquaresExpr(Expr):
         self.kwargs = kwargs
         self.mode = mode
         self.multi_target = multi_target
+        self.weights = weights  # engine-side WLS scaling (least_squares.py)
 
     @property
     def output_name(self) -> Optional[str]:
@@ -367,6 +369,7 @@ class LeastSquaresExpr(Expr):
             feats.extend(f.expand(df))
         target = self.target.evaluate(df, groups)
         feat_series = [f.evaluate(df, groups) for f in feats]
+        weights = self.weights.evaluate(df, groups) if self.weights is not None else None
         return evaluate_least_squares(
             self.function_name,
             target,
@@ -375,6 +378,7 @@ class LeastSquaresExpr(Expr):
             self.mode,
             groups,
             multi_target=self.multi_target,
+            weights=weights,
         )
 
 

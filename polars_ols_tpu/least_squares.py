@@ -156,8 +156,38 @@ def _build_least_squares_expr(
 ) -> Expr:
     """Equivalent of the reference's `_register_least_squares_plugin`
     (least_squares.py:199-239): builds the model node plus the python-side
-    post-processing (WLS unscaling, residual arithmetic)."""
+    post-processing (WLS unscaling, residual arithmetic).
+
+    For static single-target fits the sqrt-weight scaling is NOT expanded
+    into per-column expressions (the reference's approach costs one kernel
+    per feature column); the raw weight expression is passed to the engine,
+    which folds the scaling into its fused kernels (engine/fit.py) —
+    numerically identical to the reference's pre-scaled formulation.
+    """
     target = parse_into_expr(target)
+    engine_weights = (
+        function_name == "least_squares"
+        and not multi_target
+        and mode != "statistics"
+        and kwargs.get("sample_weights") is not None
+    )
+    if engine_weights:
+        weights = parse_into_expr(kwargs.pop("sample_weights"))
+        kwargs["sample_weights"] = None
+        target_fit, features_fit, _ = _pre_process_data(target, *features, **kwargs)
+        if mode == "coefficients":
+            return LeastSquaresExpr(
+                function_name, target_fit, features_fit, ols_kwargs, mode,
+                weights=weights,
+            ).alias(mode)
+        predictions = LeastSquaresExpr(
+            function_name, target_fit, features_fit, ols_kwargs, "predictions",
+            weights=weights,
+        )
+        if mode == "predictions":
+            return predictions
+        return target - predictions  # residuals
+
     target_fit, features_fit, sqrt_w = _pre_process_data(target, *features, **kwargs)
 
     if mode in ("coefficients", "statistics"):

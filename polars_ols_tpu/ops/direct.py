@@ -61,17 +61,16 @@ def resolve_solve_method(
     positive: bool,
     n_rows: int,
     n_features: int,
-    grouped: bool = False,
 ) -> str:
     """Static resolution of the reference's dispatch table
     (src/expressions.rs:361-388; OLS default QR if n>k else SVD,
     least_squares.rs:220-231; ridge default Cholesky, :342-371).
 
-    TPU amendment: for *grouped* unregularized fits the auto default is the
-    fused normal-equation path ('chol') rather than QR — one MXU moment
-    pass + the unrolled batched Cholesky, with the eigh-pinv fallback
-    covering rank deficiency (minimum-norm like the reference's fallbacks).
-    Explicitly requested 'qr'/'svd' are always honored.
+    TPU amendment: for overdetermined unregularized fits the auto default
+    is the fused normal-equation path ('chol') rather than QR — one MXU
+    moment pass + the vectorized batched Cholesky, with the eigh-pinv
+    fallback covering rank deficiency (minimum-norm like the reference's
+    fallbacks). Explicitly requested 'qr'/'svd' are always honored.
     """
     l1 = l1_ratio or 0.0
     if positive or l1 > 0.0:
@@ -84,10 +83,12 @@ def resolve_solve_method(
         return "cd" if m in ("cd", "cd_active_set") else m
     m = solve_method
     if m is None:
-        if grouped:
-            m = "chol"
-        else:
-            m = "qr" if n_rows > n_features else "svd"
+        # overdetermined auto-dispatch -> fused normal-equation path (the
+        # vectorized Cholesky's eigh-pinv fallback covers rank deficiency
+        # with minimum-norm solutions); underdetermined -> SVD minimum-norm
+        # (numpy-lstsq parity). The reference defaults to QR here
+        # (least_squares.rs:220-231) — same estimates, different factorization.
+        m = "chol" if n_rows > n_features else "svd"
     assert m in ("qr", "svd", "chol", "lu", "cd", "cd_active_set"), m
     return m
 
