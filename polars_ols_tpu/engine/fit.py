@@ -360,9 +360,15 @@ def _blocks_cached(layout, vals, valid, policy: str):
 
 
 def _pick_chunk(G: int, k: int) -> int:
-    """Bound scan-chunk memory: G * chunk * K^2 * 8 bytes <= ~512 MB."""
+    """Bound the scan chunk for the moving-window kernels.
+
+    Two limits: total memory (G * chunk * K^2 f64 <= ~512 MB) and a
+    per-chunk element cap (chunk * K^2 <= 2^19) — this backend's kernels
+    fault on larger K x K scan states (empirically: K=100 crashes the TPU
+    worker at chunk >= 128, runs at 64)."""
     budget = 512 * 1024 * 1024
     c = budget // max(1, G * k * k * 8)
+    c = min(c, max(8, (1 << 19) // max(1, k * k)))
     return int(max(8, min(CONFIG.moment_chunk_rows, c)))
 
 

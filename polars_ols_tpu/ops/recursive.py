@@ -80,6 +80,37 @@ def _rls_single(
     return coefs.reshape(R, k)
 
 
+# above this feature count the chunked associative-scan solves (chunk*K^2
+# state) stop paying for themselves: the per-row Sherman-Morrison scan —
+# the reference's own K^2-per-row recursion (src/least_squares.rs:531-540)
+# — is ~20x faster at K=100 on this backend and needs no K^3 solves.
+_SM_MIN_K = 33
+
+
+def _rls_sm_single(X, y, v, ff: float, inv_cov: float, mean0: jnp.ndarray):
+    """Per-row Sherman-Morrison RLS scan (reference least_squares.rs:
+    494-546): P propagation, invalid rows leave the state untouched
+    (:586-590) so coefficients forward-fill automatically."""
+    K = X.shape[-1]
+
+    def body(carry, xyv):
+        P, coef = carry
+        x, yt, vt = xyv
+        vf = vt.astype(F64)
+        Px = P @ x
+        r = 1.0 + jnp.dot(x, Px) / ff
+        k = Px / (r * ff)
+        coef_new = coef + k * (yt - jnp.dot(x, coef))
+        P_new = P / ff - jnp.outer(k, k) * r
+        coef = jnp.where(vf > 0, coef_new, coef)
+        P = jnp.where(vf > 0, P_new, P)
+        return (P, coef), coef
+
+    P0 = jnp.eye(K, dtype=F64) / inv_cov
+    (_, _), coefs = lax.scan(body, (P0, mean0), (X, y, v))
+    return coefs
+
+
 @partial(
     jax.jit,
     static_argnames=("half_life", "initial_state_covariance", "initial_state_mean", "chunk"),
@@ -110,6 +141,10 @@ def solve_recursive_least_squares(
     else:
         m = jnp.asarray(initial_state_mean, dtype=F64)
         mean0 = jnp.broadcast_to(m, (k,)) if m.ndim else jnp.full(k, m, dtype=F64)
+
+    if k >= _SM_MIN_K:
+        fn = partial(_rls_sm_single, ff=ff, inv_cov=inv_cov, mean0=mean0)
+        return jax.vmap(fn)(Xp.astype(F64), yp.astype(F64), vp)
 
     chunk = min(chunk, R)
     pad = (-R) % chunk

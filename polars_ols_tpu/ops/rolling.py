@@ -83,6 +83,58 @@ def _windowed_solve_chunks(
     return coefs.reshape(R, k)
 
 
+# above this feature count the prefix-difference kernel's chunk shrinks
+# below usefulness (chunk*K^2 cap); the reference's own Woodbury rank-1
+# update scan (src/least_squares.rs:629-787, default for k > 60) is the
+# faster formulation — one K^2 Sherman-Morrison add + one downdate per row.
+_SM_MIN_K = 33
+
+
+def _windowed_sm_scan(
+    X: jnp.ndarray,  # [R, K]
+    y: jnp.ndarray,  # [R]
+    v: jnp.ndarray,  # [R] bool
+    sub_idx: jnp.ndarray,  # [R]
+    sub_on: jnp.ndarray,  # [R] bool
+    alpha: float,
+    window: int,
+) -> jnp.ndarray:
+    """Woodbury-state rolling solve: propagate M = (W + reg*I)^-1 with a
+    Sherman-Morrison update for the entering row and a downdate for the
+    leaving row; coef_t = M b_t. With ridge alpha the state is exact
+    (M0 = I/alpha, reference least_squares.rs:924-926); for alpha = 0 a
+    diffuse prior reg ~ 1e-10 of the data scale plays the role of the
+    reference's warm-up inversion (relative coefficient error ~ reg)."""
+    R, K = X.shape
+    vf = v.astype(F64)
+    Xv = X * vf[:, None]
+    yv = y * vf
+    so = sub_on.astype(F64)
+    Xs = jnp.take(Xv, sub_idx, axis=0) * so[:, None]
+    ys = jnp.take(yv, sub_idx, axis=0) * so
+    if alpha > 0.0:
+        reg = jnp.asarray(alpha, F64)
+    else:
+        scale = jnp.maximum(jnp.mean(Xv * Xv) * min(window, R), 1e-300)
+        reg = scale * 1e-10
+
+    def body(carry, row):
+        M, b = carry
+        xa, ya, xs_, ys_ = row
+        Mx = M @ xa
+        M = M - jnp.outer(Mx, Mx) / (1.0 + jnp.dot(xa, Mx))
+        b = b + xa * ya
+        Mx2 = M @ xs_
+        den = 1.0 - jnp.dot(xs_, Mx2)
+        M = M + jnp.outer(Mx2, Mx2) / jnp.where(den == 0, 1.0, den)
+        b = b - xs_ * ys_
+        return (M, b), M @ b
+
+    M0 = jnp.eye(K, dtype=F64) / reg
+    (_, _), coefs = lax.scan(body, (M0, jnp.zeros(K, F64)), (Xv, yv, Xs, ys))
+    return coefs
+
+
 def _rolling_single(
     X: jnp.ndarray,
     y: jnp.ndarray,
@@ -113,7 +165,10 @@ def _rolling_single(
         sub_idx = jnp.take(rank_pos, jnp.clip(sub_rank, 0, R + 1))
         defined = r >= min_periods
 
-    coefs = _windowed_solve_chunks(X, y, v, sub_idx, sub_on, alpha, chunk)
+    if k >= _SM_MIN_K:
+        coefs = _windowed_sm_scan(X, y, v, sub_idx, sub_on, alpha, window)
+    else:
+        coefs = _windowed_solve_chunks(X, y, v, sub_idx, sub_on, alpha, chunk)
     coefs = jnp.where(defined[:, None], coefs, jnp.nan)
 
     if positional:

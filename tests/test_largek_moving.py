@@ -1,0 +1,67 @@
+"""Large-K moving-window paths (Sherman-Morrison / Woodbury scans).
+
+Above K=32 the moving models switch from chunked prefix kernels to per-row
+rank-1 update scans — the reference's own Woodbury strategy for k > 60
+(src/least_squares.rs:629-787). Verified here against direct oracles.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polars_ols_tpu.ops.recursive import solve_recursive_least_squares
+from polars_ols_tpu.ops.rolling import solve_rolling_ols
+
+
+def _kalman_oracle(X, y, v, ff, c):
+    K = X.shape[1]
+    P = np.eye(K) * c
+    coef = np.zeros(K)
+    out = np.zeros_like(X)
+    for t in range(len(y)):
+        if v[t]:
+            Px = P @ X[t]
+            r = 1.0 + X[t] @ Px / ff
+            k = Px / (r * ff)
+            coef = coef + k * (y[t] - X[t] @ coef)
+            P = P / ff - np.outer(k, k) * r
+        out[t] = coef
+    return out
+
+
+def test_rls_sm_scan_matches_kalman_oracle():
+    rng = np.random.default_rng(0)
+    R, K = 400, 40  # K > 32 -> Sherman-Morrison path
+    X = rng.normal(size=(R, K))
+    y = X @ rng.normal(size=K) + rng.normal(size=R) * 0.1
+    v = rng.random(R) > 0.1
+    ff = np.exp(np.log(0.5) / 60.0)
+    out = solve_recursive_least_squares(
+        jnp.asarray(X)[None], jnp.asarray(y)[None], jnp.asarray(v)[None],
+        half_life=60.0, initial_state_covariance=10.0,
+        initial_state_mean=None, chunk=64,
+    )
+    expected = _kalman_oracle(X, y, v, ff, 10.0)
+    np.testing.assert_allclose(np.asarray(out[0]), expected, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("alpha", [0.5, 0.0])
+def test_rolling_sm_scan_matches_per_window_solve(alpha):
+    rng = np.random.default_rng(1)
+    R, K, W = 300, 40, 120
+    X = rng.normal(size=(R, K))
+    y = X @ rng.normal(size=K) + rng.normal(size=R) * 0.1
+    out = np.asarray(
+        solve_rolling_ols(
+            jnp.asarray(X)[None], jnp.asarray(y)[None],
+            jnp.ones((1, R), dtype=bool),
+            window=W, min_periods=None, alpha=alpha, positional=True, chunk=64,
+        )[0]
+    )
+    # exact with ridge; diffuse prior (~1e-10 of data scale) without
+    tol = 1e-8 if alpha > 0 else 1e-5
+    for t in (K, K + 37, R // 2, R - 1):
+        lo = max(0, t - W + 1)
+        Xw, yw = X[lo : t + 1], y[lo : t + 1]
+        beta = np.linalg.solve(Xw.T @ Xw + alpha * np.eye(K), Xw.T @ yw)
+        np.testing.assert_allclose(out[t], beta, rtol=tol, atol=tol)
