@@ -11,11 +11,14 @@ Run: python benchmarks/suite.py [--config small|large|grouped|all]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 
-import polars_ols_tpu as pls
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import polars_ols_tpu as pls  # noqa: E402
 from polars_ols_tpu import col
 
 

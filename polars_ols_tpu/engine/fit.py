@@ -362,11 +362,13 @@ def _blocks_cached(layout, vals, valid, policy: str):
 def _pick_chunk(G: int, k: int) -> int:
     """Bound the scan chunk for the moving-window kernels.
 
-    Two limits: total memory (G * chunk * K^2 f64 <= ~512 MB) and a
-    per-chunk element cap (chunk * K^2 <= 2^19) — this backend's kernels
-    fault on larger K x K scan states (empirically: K=100 crashes the TPU
-    worker at chunk >= 128, runs at 64)."""
-    budget = 512 * 1024 * 1024
+    Two limits: total scan-state memory (G * chunk * K^2 f64 <= ~64 MB —
+    the associative-scan temporaries multiply this several-fold, and the
+    backend's compiler rejects programs past ~128 MB of scan state:
+    G=10k/K=5 compiles at chunk 32, fails at 64) and a per-chunk element
+    cap (chunk * K^2 <= 2^19 — larger K x K states fault the TPU worker:
+    K=100 crashes at chunk >= 128, runs at 64)."""
+    budget = 64 * 1024 * 1024
     c = budget // max(1, G * k * k * 8)
     c = min(c, max(8, (1 << 19) // max(1, k * k)))
     return int(max(8, min(CONFIG.moment_chunk_rows, c)))

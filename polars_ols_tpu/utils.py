@@ -83,3 +83,31 @@ def timer(msg: Optional[str] = None, precision: int = 3):
         end = time.perf_counter()
         label = msg or "task"
         print(f"{label} took: {(end - start) * 1_000:.{precision}f} ms")
+
+
+@contextmanager
+def trace(log_dir: str = "/tmp/pols_tpu_trace"):
+    """Capture a device profile of the enclosed block (the TPU-side
+    replacement for the reference's wall-clock-only instrumentation,
+    SURVEY §5): view with TensorBoard or xprof.
+
+    Example:
+        with trace("/tmp/t"):
+            df.select(col("y").least_squares.ols("x1").over("g"))
+    """
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_sync(x) -> None:
+    """Force completion of async device work. On tunneled backends
+    `block_until_ready` can return early, so a tiny host fetch is used."""
+    import numpy as np
+
+    leaf = x.values if hasattr(x, "values") else x
+    np.asarray(leaf[:1])
