@@ -89,6 +89,7 @@ def run_config(name: str, n: int, k: int, n_groups=None):
     print(f"{'model':<14} {'this engine':>12} {'reference':>12} {'speedup':>9}")
     for model, fn in _queries(df, k, grouped).items():
         try:
+            pls.clear_caches()  # release device caches between families
             ms = _time(fn) * 1e3
         except Exception as e:  # pragma: no cover
             print(f"{model:<14} FAILED: {str(e)[:60]}")

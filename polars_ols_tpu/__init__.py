@@ -17,6 +17,7 @@ TPU meshes (polars_ols_tpu.parallel).
 from __future__ import annotations
 
 from .config import CONFIG
+from .engine.groups import clear_caches
 from .expr import Expr, col, lit, struct
 from .frame import DataFrame, GroupBy, LazyFrame, concat
 from .least_squares import (
@@ -40,6 +41,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CONFIG",
+    "clear_caches",
     "DataFrame",
     "Expr",
     "GroupBy",

@@ -31,7 +31,7 @@ from ..ops.linalg import solve_psd
 from ..ops.recursive import solve_recursive_least_squares
 from ..ops.rolling import solve_rolling_ols
 from ..ops.statistics import feature_metrics, residual_metrics
-from .groups import build_layout
+from .groups import build_layout, register_cache_owner
 
 F64 = jnp.float64
 
@@ -348,7 +348,7 @@ def _blocks_cached(layout, vals, valid, policy: str):
             from ..ops.ozaki import decompose_blocks
 
             digits, scales = decompose_blocks(Zp, wp)
-        if len([k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]) >= 4:
+        if len([k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]) >= 2:
             for k in [k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]:
                 del layout._dev[k]
         # hold refs to vals/valid so the ids in `key` stay valid
@@ -405,6 +405,7 @@ def _stack_cached(target, feat_series):
         if cache is None:
             cache = {}
             object.__setattr__(target, "_layout_cache", cache)
+            register_cache_owner(target)
         if len(cache) >= _STACK_CACHE_LIMIT:
             cache.pop(next(iter(cache)))
         cache[key] = (out, tuple(feat_series))  # hold refs: keys use id()s
@@ -442,6 +443,7 @@ def _weighted_stack_cached(target, feat_series, weights):
         if cache is None:
             cache = {}
             object.__setattr__(target, "_layout_cache", cache)
+            register_cache_owner(target)
         if len(cache) >= _STACK_CACHE_LIMIT:
             cache.pop(next(iter(cache)))
         cache[key] = (out, weights)

@@ -19,10 +19,35 @@ integer keys uses its O(N) hash table instead of numpy's sort-based unique.
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
+
+# owners of device-resident caches (GroupLayouts and Series); clear_caches()
+# walks this to release materialized partitions / digit planes / layouts
+_CACHE_OWNERS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def register_cache_owner(obj) -> None:
+    try:
+        _CACHE_OWNERS.add(obj)
+    except TypeError:  # not weakref-able
+        pass
+
+
+def clear_caches() -> None:
+    """Release all device-resident caches (materialized partitions, digit
+    planes, layout index tensors, column stacks). Frees accelerator memory
+    between unrelated workloads; subsequent queries rebuild lazily."""
+    for obj in list(_CACHE_OWNERS):
+        if isinstance(obj, GroupLayout):
+            obj._dev.clear()
+        else:
+            cache = getattr(obj, "_layout_cache", None)
+            if cache:
+                cache.clear()
 
 from ..series import ObjectSeries, Series
 
@@ -166,10 +191,12 @@ def layout_for_columns(cols: Sequence) -> GroupLayout:
         return cache[key][0]
     gids = factorize_columns(cols)
     layout = build_layout(gids, len(gids))
+    register_cache_owner(layout)
     try:
         if cache is None:
             cache = {}
             object.__setattr__(cols[0], "_layout_cache", cache)
+            register_cache_owner(cols[0])
         # hold refs to the key columns so the ids in `key` stay valid
         cache[key] = (layout, tuple(cols))
     except AttributeError:  # __slots__ without cache support

@@ -32,7 +32,7 @@ class Series:
     numpy arrays, since group factorization runs on host.
     """
 
-    __slots__ = ("name", "values", "validity", "_layout_cache")
+    __slots__ = ("name", "values", "validity", "_layout_cache", "__weakref__")
 
     def __init__(
         self,
@@ -262,7 +262,7 @@ class ObjectSeries:
     statistics fields mirroring the reference's statistics struct,
     src/expressions.rs:448-466)."""
 
-    __slots__ = ("name", "values", "_layout_cache")
+    __slots__ = ("name", "values", "_layout_cache", "__weakref__")
 
     def __init__(self, name: str, values: Iterable) -> None:
         self.name = name
