@@ -371,7 +371,10 @@ def _pick_chunk(G: int, k: int) -> int:
     budget = 64 * 1024 * 1024
     c = budget // max(1, G * k * k * 8)
     c = min(c, max(8, (1 << 19) // max(1, k * k)))
-    return int(max(8, min(CONFIG.moment_chunk_rows, c)))
+    c = int(max(8, min(CONFIG.moment_chunk_rows, c)))
+    # power-of-two chunks only: odd scan widths (e.g. 33) have faulted this
+    # backend's kernels in full-engine context where 32 runs fine
+    return 1 << (c.bit_length() - 1)
 
 
 # --------------------------------------------------------------------------- #
