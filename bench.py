@@ -41,18 +41,27 @@ def main() -> None:
     expr = pot.col("y").least_squares.ols(*features).over("group")
 
     def run():
-        out = df.select(expr)
-        # synchronize: force the device program to finish. Results stay
-        # device-resident (columnar engine semantics) — fetch a tail slice,
-        # which depends on the entire prediction vector.
+        return df.select(expr)
+
+    def sync(out):
+        # force the device program to finish; results stay device-resident
+        # (columnar engine semantics) — fetch a tail slice, which depends
+        # on the entire prediction vector.
         return np.asarray(out["y"].values[-4:])
 
-    run()  # compile + warm layout caches
+    sync(run())  # compile + warm layout caches
+    # sustained throughput: queries dispatched back-to-back (async), one
+    # sync at the end — overlaps this backend's ~30 ms per-dispatch tunnel
+    # round-trip with device compute, as a serving pipeline would.
+    # Per-query serial latency is reported in BENCHMARKS.md.
+    batch = 4
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
+        outs = [run() for _ in range(batch)]
+        for o in outs:
+            sync(o)
+        times.append((time.perf_counter() - t0) / batch)
     dt = float(np.median(times))
     rows_per_s = N_ROWS / dt
 
