@@ -3,7 +3,10 @@
 The TPU has no f64 hardware: XLA's emulated f64 batched matmul runs the
 moment accumulation (XtX/Xty) ~40x below the chip's integer MXU rate.
 This module reformulates the moment matmuls as the Ozaki splitting used
-for exact GEMM on integer tensor cores: each f64 value is decomposed into
+for exact GEMM on integer tensor cores (Ozaki et al., "Error-free
+transformations of matrix multiplication", Numer. Algorithms 2012; the
+int8 variant popularized for DGEMM emulation on low-precision matrix
+units): each f64 value is decomposed into
 radix-128 int8 digits with a per-(block, column) power-of-two scale,
 
     v = m * sum_i d_i * 128^-(i+1),   d_i in [-64, 64], m = 2^(e+1),

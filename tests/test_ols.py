@@ -839,3 +839,14 @@ def test_statistics_grouped_skewed():
         np.testing.assert_allclose(row["t_values"], res["t"], rtol=1e-7)
         np.testing.assert_allclose(row["p_values"], res["p"], rtol=1e-6, atol=1e-12)
         assert row["r2"] == pytest.approx(res["r2"], rel=1e-8)
+
+
+def test_clear_caches_preserves_results():
+    """clear_caches() drops device-resident memoization; results rebuild
+    identically afterwards."""
+    df = _make_data(n_samples=500, n_groups=7)
+    expr = col("y").least_squares.ols("x1", "x2").over("group")
+    before = df.select(expr)["y"].to_numpy()
+    pot.clear_caches()
+    after = df.select(expr)["y"].to_numpy()
+    np.testing.assert_array_equal(before, after)
