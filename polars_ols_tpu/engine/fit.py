@@ -184,10 +184,14 @@ def _block_preds(Xp, beta_blocks):
     return acc
 
 
-def _unpad_preds(preds_blocks, unpad_idx):
+def _unpad_preds(preds_blocks, unpad_idx, contiguous: bool = False):
     """Row-order gather of block predictions; as f32 (hi, lo) pairs when
-    configured (same bytes, ~2x faster on TPU, exact to 2^-48)."""
+    configured (same bytes, ~2x faster on TPU, exact to 2^-48). With a
+    single group the split layout is row-sequential, so the "gather" is a
+    free slice (``contiguous``)."""
     flat = preds_blocks.reshape(-1)
+    if contiguous:
+        return flat[: unpad_idx.shape[0]]
     if not CONFIG.pair_gather:
         return jnp.take(flat, unpad_idx, axis=0)
     hi = flat.astype(jnp.float32)
@@ -223,7 +227,7 @@ def _blocks_fit_kernel(
         return jnp.take(beta, gids, axis=0)
     beta_blocks = jnp.take(beta, block_group, axis=0)  # [S, K]
     preds_blocks = _block_preds(Xp, beta_blocks)
-    return _unpad_preds(preds_blocks, unpad_idx)
+    return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
 @partial(jax.jit, static_argnames=("num_groups", "alpha", "want"))
@@ -260,7 +264,7 @@ def _blocks_fit_kernel_ozaki(
         return jnp.take(beta, gids, axis=0)
     beta_blocks = jnp.take(beta, block_group, axis=0)
     preds_blocks = _block_preds(Zp[..., 1:], beta_blocks)
-    return _unpad_preds(preds_blocks, unpad_idx)
+    return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
 @partial(jax.jit, static_argnames=("num_groups", "alpha"))
@@ -595,9 +599,7 @@ def evaluate_least_squares(
                 return Series(out_name, preds, None)
             # block predictions reuse fit-side features; valid whenever the
             # predict features coincide with (or are masked over) fit ones
-            blocks_ok = G > 1 and (
-                valid is None or policy in ("zero", "ignore", "drop")
-            )
+            blocks_ok = valid is None or policy in ("zero", "ignore", "drop")
             if blocks_ok:
                 r_cap = _split_layout(layout)[1].shape[1]
                 Zp, wp, predict_valid, block_group, digits, scales = (
