@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..series import ObjectSeries, Series, StructSeries
 from ..ops import masking
-from ..ops.cd import solve_elastic_net
+from ..ops.cd import solve_elastic_net_cov
 from ..ops.direct import (
     grouped_moments,
     resolve_solve_method,
@@ -201,7 +201,21 @@ def _unpad_preds(preds_blocks, unpad_idx, contiguous: bool = False):
     return out[:, 0].astype(F64) + out[:, 1].astype(F64)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want"))
+def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params):
+    """Normal-equation Cholesky solve, or covariance-form coordinate
+    descent when cd hyper-parameters are supplied (lasso/enet/NNLS)."""
+    if cd_params is None:
+        K = XtX.shape[-1]
+        A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+        return solve_psd(A, Xty)
+    l1_ratio, max_iter, tol, positive = cd_params
+    return solve_elastic_net_cov(
+        XtX, Xty, counts, alpha=alpha, l1_ratio=l1_ratio,
+        max_iter=max_iter, tol=tol, positive=positive,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params"))
 def _blocks_fit_kernel(
     Zp,  # [S, R, 1+K] target in slot 0
     wp,  # [S, R]
@@ -211,16 +225,17 @@ def _blocks_fit_kernel(
     num_groups: int,
     alpha: float,
     want: str,  # "beta" | "rows" | "preds"
+    cd_params=None,  # static (l1_ratio, max_iter, tol, positive) for CD
 ):
     """Steady-state grouped fit on the materialized partition: MXU moment
-    matmuls + vectorized Cholesky; predictions are computed block-wise
-    (beta indexed by block, [S,K] — tiny) and scattered to row order with
-    one [N] gather instead of an [N,K] coefficient gather."""
+    matmuls + vectorized Cholesky (or covariance-form CD); predictions are
+    computed block-wise (beta indexed by block, [S,K] — tiny) and scattered
+    to row order with one [N] gather instead of an [N,K] coefficient
+    gather."""
     K = Zp.shape[-1] - 1
     yp, Xp = Zp[..., 0], Zp[..., 1:]
-    XtX, Xty, _ = grouped_moments(Xp, yp, wp, block_group, num_groups)
-    A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-    beta = solve_psd(A, Xty)
+    XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
+    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params)
     if want == "beta":
         return beta
     if want == "rows":
@@ -230,7 +245,7 @@ def _blocks_fit_kernel(
     return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params"))
 def _blocks_fit_kernel_ozaki(
     Zp,  # [S, R, 1+K] target in slot 0 (used for block predictions)
     digits,  # [D, S, R, 1+K] int8 digit planes (padding rows zeroed)
@@ -242,6 +257,7 @@ def _blocks_fit_kernel_ozaki(
     num_groups: int,
     alpha: float,
     want: str,
+    cd_params=None,
 ):
     """Digit-matmul variant of `_blocks_fit_kernel`: the full moment matrix
     Z^T diag(w) Z comes from exact int8 MXU matmuls (ops/ozaki.py) instead
@@ -253,11 +269,10 @@ def _blocks_fit_kernel_ozaki(
         from ..ops.ozaki import moments_from_digits
 
     K = Zp.shape[-1] - 1
-    M, _ = moments_from_digits(digits, scales, wp, block_group, num_groups)
+    M, counts = moments_from_digits(digits, scales, wp, block_group, num_groups)
     XtX = M[:, 1:, 1:]
     Xty = M[:, 1:, 0]
-    A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-    beta = solve_psd(A, Xty)
+    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params)
     if want == "beta":
         return beta
     if want == "rows":
@@ -498,21 +513,22 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
         XtX, Xty, _ = _moments(layout, problem.X, problem.y, problem.fit_mask)
         A = XtX + jnp.asarray(float(alpha), F64) * jnp.eye(k, dtype=F64)
         return solve_psd(A, Xty)
-    (Xp, yp), wp = _pad_rows(layout, [problem.X, problem.y], problem.fit_mask)
-    Xp = Xp * wp[..., None]
-    yp = yp * (wp if yp.ndim == 2 else wp[..., None])
     if method == "cd":
-        n_valid = wp.sum(axis=1)
-        return solve_elastic_net(
-            Xp,
-            yp,
-            n_valid,
+        # covariance-form CD: one moment pass, then O(K) coordinate steps
+        XtX, Xty, counts = _moments(layout, problem.X, problem.y, problem.fit_mask)
+        return solve_elastic_net_cov(
+            XtX,
+            Xty,
+            counts,
             alpha=float(alpha),
             l1_ratio=float(0.5 if l1 is None else l1),
             max_iter=int(kwargs.max_iter or 1000),
             tol=float(kwargs.tol if kwargs.tol is not None else 1e-5),
             positive=positive,
         )
+    (Xp, yp), wp = _pad_rows(layout, [problem.X, problem.y], problem.fit_mask)
+    Xp = Xp * wp[..., None]
+    yp = yp * (wp if yp.ndim == 2 else wp[..., None])
     return solve_from_rows(Xp, yp, float(alpha), method, kwargs.rcond)
 
 
@@ -557,7 +573,15 @@ def evaluate_least_squares(
         and not isinstance(target, StructSeries)
     ):
         method = _resolve_method(layout, kwargs, k)
-        if method in ("chol", "lu"):
+        if method in ("chol", "lu", "cd"):
+            cd_params = None
+            if method == "cd":
+                cd_params = (
+                    float(0.5 if kwargs.l1_ratio is None else kwargs.l1_ratio),
+                    int(kwargs.max_iter or 1000),
+                    float(kwargs.tol if kwargs.tol is not None else 1e-5),
+                    bool(kwargs.positive),
+                )
             inv_w = None
             if weights is not None:
                 vals, valid, _, inv_w = _weighted_stack_cached(
@@ -567,7 +591,7 @@ def evaluate_least_squares(
                 vals, valid = _stack_cached(target, feat_series)
             alpha = float(kwargs.alpha or 0.0)
             names = [s.name for s in feat_series]
-            if mode == "statistics":
+            if mode == "statistics" and method != "cd":
                 return _statistics_blocks(
                     layout, vals, valid, policy, kwargs, names, layout_in
                 )
@@ -579,6 +603,7 @@ def evaluate_least_squares(
                 and jax.device_count() > 1
                 and G > 1
                 and valid is None
+                and method != "cd"
             ):
                 from ..parallel import fit_moments_sharded, make_mesh
 
@@ -599,7 +624,9 @@ def evaluate_least_squares(
                 return Series(out_name, preds, None)
             # block predictions reuse fit-side features; valid whenever the
             # predict features coincide with (or are masked over) fit ones
-            blocks_ok = valid is None or policy in ("zero", "ignore", "drop")
+            blocks_ok = (mode != "statistics") and (
+                valid is None or policy in ("zero", "ignore", "drop")
+            )
             if blocks_ok:
                 r_cap = _split_layout(layout)[1].shape[1]
                 Zp, wp, predict_valid, block_group, digits, scales = (
@@ -611,10 +638,12 @@ def evaluate_least_squares(
                 )
                 if digits is not None:
                     fit = lambda want: _blocks_fit_kernel_ozaki(
-                        Zp, digits, scales, *tail, G, alpha, want
+                        Zp, digits, scales, *tail, G, alpha, want, cd_params
                     )
                 else:
-                    fit = lambda want: _blocks_fit_kernel(Zp, *tail, G, alpha, want)
+                    fit = lambda want: _blocks_fit_kernel(
+                        Zp, *tail, G, alpha, want, cd_params
+                    )
                 if mode == "coefficients":
                     beta = fit("beta" if layout_in is None else "rows")
                     return _coef_struct(beta, names)
@@ -622,19 +651,21 @@ def evaluate_least_squares(
                 if inv_w is not None:
                     preds = preds * inv_w
                 return Series(out_name, preds, predict_valid)
-            if G == 1:
-                g = pmask = block_group = None
-            else:
-                g, pmask, block_group, _ = _split_layout(layout)
-            args = (vals, valid, g, pmask, block_group, layout.device_gids())
-            if mode == "coefficients":
-                want = "beta" if layout_in is None else "rows"
-                beta = _chol_fit_kernel(*args, G, alpha, policy, want)
-                return _coef_struct(beta, names)
-            preds, predict_valid = _chol_fit_kernel(*args, G, alpha, policy, "preds")
-            if inv_w is not None:
-                preds = preds * inv_w
-            return Series(out_name, preds, predict_valid)
+            if method in ("chol", "lu"):
+                if G == 1:
+                    g = pmask = block_group = None
+                else:
+                    g, pmask, block_group, _ = _split_layout(layout)
+                args = (vals, valid, g, pmask, block_group, layout.device_gids())
+                if mode == "coefficients":
+                    want = "beta" if layout_in is None else "rows"
+                    beta = _chol_fit_kernel(*args, G, alpha, policy, want)
+                    return _coef_struct(beta, names)
+                preds, predict_valid = _chol_fit_kernel(*args, G, alpha, policy, "preds")
+                if inv_w is not None:
+                    preds = preds * inv_w
+                return Series(out_name, preds, predict_valid)
+            # cd with statistics / unsupported policy: general path below
 
     y, yv, X, xv, names, target_names = _extract(target, feat_series)
     problem = masking.prepare_problem(policy, y, yv, X, xv, moving=moving)

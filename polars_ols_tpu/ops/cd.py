@@ -79,6 +79,74 @@ def _cd_single(
     return w
 
 
+def _cd_cov_single(
+    XtX: jnp.ndarray,  # [K, K]
+    Xty: jnp.ndarray,  # [K]
+    n_valid: jnp.ndarray,  # scalar
+    alpha: float,
+    l1_ratio: float,
+    max_iter: int,
+    tol: float,
+    positive: bool,
+) -> jnp.ndarray:
+    K = XtX.shape[0]
+    a = alpha * jnp.maximum(n_valid, 1.0)
+    a_l1 = a * l1_ratio
+    a_l2 = a * (1.0 - l1_ratio)
+    diag = jnp.diagonal(XtX)
+
+    def coord_body(j, w):
+        # x_j^T r + XtX_jj w_j  ==  Xty_j - (XtX w)_j + XtX_jj w_j
+        rho = Xty[j] - jnp.dot(XtX[j], w) + diag[j] * w[j]
+        denom = diag[j] + a_l2
+        w_j = _soft_threshold(rho, a_l1, positive) / jnp.where(denom > 0, denom, 1.0)
+        return w.at[j].set(w_j)
+
+    def sweep(state):
+        w, it, _ = state
+        w_new = lax.fori_loop(0, K, coord_body, w)
+        return w_new, it + 1, jnp.linalg.norm(w_new - w)
+
+    def cond(state):
+        _, it, delta = state
+        return (it < max_iter) & (delta >= tol)
+
+    w0 = jnp.zeros(K, dtype=F64)
+    w, _, _ = lax.while_loop(cond, sweep, (w0, jnp.int32(0), jnp.asarray(jnp.inf, F64)))
+    return w
+
+
+@partial(jax.jit, static_argnames=("alpha", "l1_ratio", "max_iter", "tol", "positive"))
+def solve_elastic_net_cov(
+    XtX: jnp.ndarray,  # [G, K, K]
+    Xty: jnp.ndarray,  # [G, K]
+    n_valid: jnp.ndarray,  # [G]
+    alpha: float,
+    l1_ratio: float = 0.5,
+    max_iter: int = 1000,
+    tol: float = 1e-5,
+    positive: bool = False,
+) -> jnp.ndarray:
+    """Covariance-form cyclic coordinate descent on precomputed moments.
+
+    Produces the SAME iterate sequence as the reference's naive residual
+    updates (src/least_squares.rs:423-434) — x_j^T r expands to
+    Xty_j - (XtX w)_j + XtX_jj w_j — but each coordinate step is O(K) on
+    the moment matrices instead of O(n) over the row data (the classic
+    n >> k "precompute" formulation, cf. sklearn's Gram variant). Combined
+    with the engine's int8-digit moment accumulation this removes every
+    per-sweep pass over the rows."""
+    fn = partial(
+        _cd_cov_single,
+        alpha=alpha,
+        l1_ratio=l1_ratio,
+        max_iter=max_iter,
+        tol=tol,
+        positive=positive,
+    )
+    return jax.vmap(fn)(XtX.astype(F64), Xty.astype(F64), n_valid.astype(F64))
+
+
 @partial(jax.jit, static_argnames=("alpha", "l1_ratio", "max_iter", "tol", "positive"))
 def solve_elastic_net(
     Xp: jnp.ndarray,  # [G, R, K]
