@@ -79,6 +79,9 @@ class Expr:
     def abs(self):
         return UnaryExpr("abs", self)
 
+    def round(self, decimals: int = 0):
+        return RoundExpr(self, decimals)
+
     def alias(self, name: str) -> "Expr":
         return AliasExpr(self, name)
 
@@ -193,6 +196,20 @@ class LitExpr(Expr):
 
     def flatten(self):
         return self
+
+
+class RoundExpr(Expr):
+    def __init__(self, inner: Expr, decimals: int):
+        self.inner = inner
+        self.decimals = decimals
+
+    @property
+    def output_name(self):
+        return self.inner.output_name
+
+    def evaluate(self, df, groups=None):
+        s = self.inner.evaluate(df, groups)
+        return Series(s.name, jnp.round(jnp.asarray(s.values), self.decimals), s.validity)
 
 
 class AliasExpr(Expr):

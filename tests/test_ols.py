@@ -850,3 +850,39 @@ def test_clear_caches_preserves_results():
     pot.clear_caches()
     after = df.select(expr)["y"].to_numpy()
     np.testing.assert_array_equal(before, after)
+
+
+def test_reference_readme_example():
+    """The reference README's 10-row worked example (README.md:47-66)
+    reproduces to its printed 2-decimal outputs."""
+    df = pot.DataFrame(
+        {
+            "y": [1.16, -2.16, -1.57, 0.21, 0.22, 1.6, -2.11, -2.92, -0.86, 0.47],
+            "x1": [0.72, -2.43, -0.63, 0.05, -0.07, 0.65, -0.02, -1.64, -0.92, -0.27],
+            "x2": [0.24, 0.18, -0.95, 0.23, 0.44, 1.01, -2.08, -1.36, 0.01, 0.75],
+            "group": [1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+            "weights": [0.34, 0.97, 0.39, 0.8, 0.57, 0.41, 0.19, 0.87, 0.06, 0.34],
+        }
+    )
+    lasso = df.select(
+        col("y").least_squares.lasso("x1", "x2", alpha=0.0001, add_intercept=True)
+        .over("group")
+    )["y"].to_numpy()
+    wls = df.select(
+        pot.compute_least_squares_from_formula(
+            "y ~ x1 + x2 -1", sample_weights=col("weights")
+        )
+    )["y"].to_numpy()
+    np.testing.assert_allclose(
+        np.round(lasso[:5], 2), [0.97, -2.23, -1.54, 0.29, 0.37]
+    )
+    np.testing.assert_allclose(
+        np.round(wls[:5], 2), [0.93, -2.18, -1.54, 0.27, 0.36]
+    )
+    # formula-API coefficient broadcast (README.md:85-106)
+    coefs = df.select(
+        col("y").least_squares.from_formula("x1 + x2", mode="coefficients")
+    )["coefficients"]
+    np.testing.assert_allclose(
+        np.asarray(coefs.values)[0], [0.977375, 0.987413, 0.000757], atol=5e-6
+    )
