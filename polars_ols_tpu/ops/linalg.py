@@ -192,6 +192,46 @@ def solve_lu(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------- #
+# Householder QR reduction (vectorized over the batch axis)
+# --------------------------------------------------------------------------- #
+def _householder_reduce(X: jnp.ndarray, Y: jnp.ndarray):
+    """Batched Householder reduction: X = Q [R; 0], returns (R [..., K, K]
+    upper-triangular, QtY [..., K, M]).
+
+    XLA's batched QR custom call runs at emulated-f64 speed (~2 s for
+    [10k, 271, 5]); K explicit reflections as whole-tensor elementwise ops
+    + reductions use the VPU at bandwidth instead. Zero rows (masked /
+    padding) are genuine zero observations and pass through correctly;
+    zero pivot columns (rank deficiency) make the reflection the identity
+    and leave a zero diagonal in R for the caller's rank handling."""
+    K = X.shape[-1]
+    Rn = X.shape[-2]
+    rows = jnp.arange(Rn)
+    A, B = X, Y
+    for j in range(K):
+        mask = (rows >= j).astype(X.dtype)  # [R]
+        col = A[..., :, j] * mask  # [..., R]
+        sigma = jnp.sum(col * col, axis=-1, keepdims=True)  # [..., 1]
+        cj = A[..., j, j][..., None]
+        s = jnp.where(cj >= 0, 1.0, -1.0)
+        alpha = -s * jnp.sqrt(sigma)
+        v = jnp.where(rows == j, col - alpha, col)  # [..., R]
+        denom = sigma - cj * alpha  # = ||v||^2 / 2
+        beta = jnp.where(denom > 0, 1.0 / denom, 0.0)
+        bv = beta[..., None] * v[..., :, None]  # [..., R, 1]
+        vtA = jnp.einsum("...r,...rk->...k", v, A)
+        A = A - bv * vtA[..., None, :]
+        vtB = jnp.einsum("...r,...rm->...m", v, B)
+        B = B - bv * vtB[..., None, :]
+    return A[..., :K, :], B[..., :K, :]
+
+
+# a reflection pass costs O(K) whole-tensor ops; above this K the op count
+# (and [G,R,K] traffic per reflection) favors the XLA QR custom call
+_HOUSEHOLDER_MAX_K = 32
+
+
+# --------------------------------------------------------------------------- #
 # SVD least squares (minimum norm, numpy-lstsq parity)
 # --------------------------------------------------------------------------- #
 def svd_lstsq(
@@ -223,11 +263,13 @@ def svd_lstsq(
 
     if n > k:
         # QR reduction: svd(X) = (Q U_r) S V^T with R = U_r S V^T
-        Q, R = jnp.linalg.qr(X)
+        if k <= _HOUSEHOLDER_MAX_K:
+            R, QtY = _householder_reduce(X, Y)
+        else:
+            Q, R = jnp.linalg.qr(X)
+            QtY = jnp.einsum("...ni,...nm->...im", Q, Y)
         u_r, s, vt = jnp.linalg.svd(R, full_matrices=False)
-        uty = jnp.einsum(
-            "...ji,...jm->...im", u_r, jnp.einsum("...ni,...nm->...im", Q, Y)
-        )
+        uty = jnp.einsum("...ji,...jm->...im", u_r, QtY)
     else:
         u, s, vt = jnp.linalg.svd(X, full_matrices=False)
         uty = jnp.einsum("...ni,...nm->...im", u, Y)
@@ -256,15 +298,28 @@ def qr_lstsq(X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     by reference tests/test_ols.py:324-360.
     """
     n, k = X.shape[-2], X.shape[-1]
-    Q, R = jnp.linalg.qr(X)
+    if k <= _HOUSEHOLDER_MAX_K and n > k:
+        R, qty2 = _householder_reduce(X, y[..., None])
+        qty = qty2[..., 0]
+    else:
+        Q, R = jnp.linalg.qr(X)
+        qty = jnp.einsum("...ni,...n->...i", Q, y)
     diag = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
     tol = _EPS64 * max(n, k) * jnp.max(diag, axis=-1, keepdims=True)
     keep = diag > tol  # [..., K]
 
-    qty = jnp.einsum("...ni,...n->...i", Q, y)
     full_rank = keep.all()
 
     def solve_full(_):
+        if k <= _HOUSEHOLDER_MAX_K:
+            # unrolled back-substitution (no triangular-solve custom call)
+            xs = [None] * k
+            for i in range(k - 1, -1, -1):
+                acc = qty[..., i]
+                for m in range(i + 1, k):
+                    acc = acc - R[..., i, m] * xs[m]
+                xs[i] = acc / R[..., i, i]
+            return jnp.stack(xs, axis=-1)
         return jax.scipy.linalg.solve_triangular(R, qty, lower=False)
 
     def solve_deficient(_):
