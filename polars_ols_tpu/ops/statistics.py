@@ -39,6 +39,7 @@ def residual_metrics(
         "mse": sse / n_safe,
         "mae": sae / n_safe,
         "r2": 1.0 - sse / sst,
+        "rss": sse,
     }
 
 
@@ -46,10 +47,13 @@ def residual_metrics(
 def feature_metrics(
     XtX: jnp.ndarray,  # [G, K, K]
     Xty: jnp.ndarray,  # [G, K]
-    yty: jnp.ndarray,  # [G]
+    rss: jnp.ndarray,  # [G] residual sum of squares over the fitted rows
     n: jnp.ndarray,  # [G] valid-row counts
     alpha: float,
 ) -> Dict[str, jnp.ndarray]:
+    """RSS must come from *per-row* residuals (as the reference does,
+    src/statistics.rs:119-123): the moment identity yty - 2b'Xty + b'XtXb
+    cancels catastrophically for good fits (can report mse=0 or negative)."""
     G, k, _ = XtX.shape
     A = XtX + alpha * jnp.eye(k, dtype=F64)
     L = jnp.linalg.cholesky(A)
@@ -59,12 +63,6 @@ def feature_metrics(
         (L_safe, True), jnp.broadcast_to(jnp.eye(k, dtype=F64), A.shape)
     )
     beta = jnp.einsum("gkl,gl->gk", A_inv, Xty, preferred_element_type=F64)
-    # RSS = y'y - 2 b'X'y + b'X'X b   (exact for the fitted rows)
-    rss = (
-        yty
-        - 2.0 * jnp.einsum("gk,gk->g", beta, Xty)
-        + jnp.einsum("gk,gkl,gl->g", beta, XtX, beta)
-    )
     if alpha > 0.0:
         df = n - jnp.trace(A_inv, axis1=-2, axis2=-1)
     else:

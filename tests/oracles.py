@@ -49,6 +49,25 @@ def ols_statistics(x: np.ndarray, y: np.ndarray):
     }
 
 
+def ridge_statistics(x: np.ndarray, y: np.ndarray, alpha: float):
+    """Ridge-aware se/t/p with the reference's df = n - trace((X'X+aI)^-1)
+    convention (src/statistics.rs:124-128)."""
+    from scipy import stats
+
+    n, p = x.shape
+    A = x.T @ x + alpha * np.eye(p)
+    A_inv = np.linalg.inv(A)
+    beta = A_inv @ (x.T @ y)
+    resid = y - x @ beta
+    rss = float(resid @ resid)
+    df = n - float(np.trace(A_inv))
+    sigma2 = rss / df
+    se = np.sqrt(sigma2 * np.abs(np.diag(A_inv)))
+    t = beta / se
+    pvals = 2.0 * (1.0 - stats.t.cdf(np.abs(t), df))
+    return {"coef": beta, "se": se, "t": t, "p": pvals, "mse": rss / n}
+
+
 def rolling_ols_drop_window(
     x: np.ndarray,
     y: np.ndarray,

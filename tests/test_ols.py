@@ -180,11 +180,15 @@ def test_fit_missing_data_coefficients():
     )
 
 
-@pytest.mark.parametrize("null_policy", ["drop", "drop_zero", "drop_y_zero_x"])
+@pytest.mark.parametrize("null_policy", ["drop", "drop_zero", "drop_y_zero_x", "zero"])
 def test_fit_missing_data_predictions_and_residuals(null_policy):
     df = _make_data(add_missing=True)
     x, y = _xy(df)
-    if null_policy == "drop_y_zero_x":
+    if null_policy == "zero":
+        # zero policy: every null (target included) becomes 0, all rows fit
+        is_valid = np.ones(len(y), dtype=bool)
+        x_fit, y_fit = np.nan_to_num(x), np.nan_to_num(y)
+    elif null_policy == "drop_y_zero_x":
         is_valid = ~np.isnan(y)
         x_fit, y_fit = np.nan_to_num(x[is_valid, :]), y[is_valid]
     else:
@@ -195,6 +199,8 @@ def test_fit_missing_data_predictions_and_residuals(null_policy):
     predictions_expected = x_predict @ coef
     if null_policy == "drop":
         predictions_expected[~is_valid] = np.nan
+    # residuals stay target - predictions with the RAW target: null targets
+    # yield null residuals under every policy (reference least_squares.py:236)
 
     predictions = df.select(
         predictions=col("y").least_squares.ols(
@@ -236,7 +242,7 @@ def test_all_empty_data():
 # --------------------------------------------------------------------------- #
 # wide / collinear problems
 # --------------------------------------------------------------------------- #
-@pytest.mark.parametrize("n_features", (2, 10, 100))
+@pytest.mark.parametrize("n_features", (2, 10, 100, 1_000))
 def test_fit_wide(n_features):
     df = _make_data(n_samples=10, n_features=n_features, scale=1e-4)
     features = [col(f) for f in df.columns if f.startswith("x")]
@@ -811,6 +817,101 @@ def test_least_squares_statistics():
     assert np.allclose(exploded["standard_errors"].to_numpy(), res["se"])
     assert np.allclose(exploded["t_values"].to_numpy(), res["t"])
     assert np.allclose(exploded["p_values"].to_numpy(), res["p"])
+
+
+def test_ridge_statistics():
+    """Ridge statistics: df = n - trace((X'X+aI)^-1) branch
+    (src/statistics.rs:124-128) against a hand-computed oracle."""
+    df = _make_data(n_samples=500)
+    alpha = 2.5
+    statistics = df.select(
+        col("y").least_squares.ridge(
+            col("x1"), col("x2"), alpha=alpha, mode="statistics"
+        )
+    ).unnest("statistics")
+    x, y = _xy(df)
+    res = oracles.ridge_statistics(x, y, alpha)
+    exploded = statistics.explode(
+        ["feature_names", "coefficients", "standard_errors", "t_values", "p_values"]
+    )
+    np.testing.assert_allclose(
+        exploded["coefficients"].to_numpy(), res["coef"], rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        exploded["standard_errors"].to_numpy(), res["se"], rtol=1e-8
+    )
+    np.testing.assert_allclose(exploded["t_values"].to_numpy(), res["t"], rtol=1e-8)
+    np.testing.assert_allclose(
+        exploded["p_values"].to_numpy(), res["p"], rtol=1e-6, atol=1e-12
+    )
+    assert statistics["mse"].item() == pytest.approx(res["mse"], rel=1e-8)
+
+
+def test_weighted_recursive_least_squares():
+    """sample_weights with rls: the reference sqrt-scales y and X before the
+    recursion (least_squares.py:190-196); oracle = Kalman recursion on the
+    scaled data."""
+    rng = np.random.default_rng(7)
+    df = _make_data(n_samples=500)
+    w = rng.uniform(0.25, 4.0, size=500)
+    df = df.with_columns(w=pot.lit(w))
+    out = (
+        df.select(
+            col("y").least_squares.rls(
+                col("x1"), col("x2"),
+                mode="coefficients", half_life=30.0, sample_weights=col("w"),
+            )
+        )
+        .unnest("coefficients")
+        .to_numpy()
+    )
+    x, y = _xy(df)
+    sw = np.sqrt(w)
+    expected = oracles.recursive_least_squares(
+        x * sw[:, None], y * sw, np.ones(500, dtype=bool), half_life=30.0
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-8)
+
+
+def test_weighted_rolling_least_squares():
+    """sample_weights with rolling_ols: sqrt-scaled data through the
+    positional-window oracle; predictions unscale by 1/sqrt(w)."""
+    rng = np.random.default_rng(8)
+    n = 600
+    df = _make_data(n_samples=n)
+    w = rng.uniform(0.25, 4.0, size=n)
+    df = df.with_columns(w=pot.lit(w))
+    coef = (
+        df.select(
+            col("y").least_squares.rolling_ols(
+                col("x1"), col("x2"),
+                mode="coefficients", window_size=100, min_periods=5,
+                sample_weights=col("w"), null_policy="drop_window",
+            )
+        )
+        .unnest("coefficients")
+        .to_numpy()
+    )
+    x, y = _xy(df)
+    sw = np.sqrt(w)
+    xs, ys = x * sw[:, None], y * sw
+    expected = oracles.rolling_ols_drop_window(xs, ys, 100, min_periods=5)
+    defined = ~np.isnan(expected).any(axis=1)
+    np.testing.assert_allclose(
+        coef[defined], expected[defined], rtol=1e-6, atol=1e-8
+    )
+    # predictions mode un-scales by 1/sqrt(w) (reference least_squares.py:234)
+    preds = df.select(
+        col("y").least_squares.rolling_ols(
+            col("x1"), col("x2"),
+            mode="predictions", window_size=100, min_periods=5,
+            sample_weights=col("w"), null_policy="drop_window",
+        )
+    )["y"].to_numpy()
+    expected_preds = np.einsum("nk,nk->n", xs, expected) / sw
+    np.testing.assert_allclose(
+        preds[defined], expected_preds[defined], rtol=1e-6, atol=1e-8
+    )
 
 
 def test_statistics_grouped_skewed():
