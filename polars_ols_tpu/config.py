@@ -43,14 +43,21 @@ class Config:
         # overrides for the lazy accelerator-only defaults below
         self._use_ozaki = _env_flag("POLS_TPU_OZAKI")
         self._pair_gather = _env_flag("POLS_TPU_PAIR_GATHER")
+        self._moving_lanes = _env_flag("POLS_TPU_MOVING_LANES")
         # fused Pallas digit-moment kernel (ops/pallas_moments.py). Off by
         # default: the current axon backend rejects gridded Mosaic kernels;
         # enable on full-Mosaic TPU backends with POLS_TPU_PALLAS=1.
         self.use_pallas_moments = bool(int(os.environ.get("POLS_TPU_PALLAS", "0")))
-        # route grouped normal-equation fits through the mesh-sharded
-        # engine (parallel/sharded.py) when >1 device is visible: rows stay
-        # in place, partial moments psum_scatter-merge across shards.
-        self.auto_shard = bool(int(os.environ.get("POLS_TPU_AUTO_SHARD", "0")))
+        # defer the row-order unpad permutation of grouped predictions: the
+        # output Series carries (block values, index map) and materialises
+        # row order on first full-column access (~5 ns/element gather —
+        # 44 ms at 8M rows — that reductions/slices never need)
+        self.lazy_row_order = bool(int(os.environ.get("POLS_TPU_LAZY", "1")))
+        # route grouped fits through the mesh-sharded engine
+        # (parallel/sharded.py): rows stay in place, partial moments
+        # psum_scatter-merge across shards; moving models shard the group
+        # batch axis. Defaults ON when >1 device is visible.
+        self._auto_shard = _env_flag("POLS_TPU_AUTO_SHARD")
 
     @property
     def use_ozaki(self) -> bool:
@@ -78,6 +85,38 @@ class Config:
     @pair_gather.setter
     def pair_gather(self, v) -> None:
         self._pair_gather = bool(v)
+
+    @property
+    def moving_lanes(self) -> bool:
+        """Lane-major moving-window kernels (ops/moving.py): the group/chunk
+        batch axis is laid out minor-most so scan bodies fill the VPU's
+        128-wide lanes (measured 16-50x faster on TPU). Default: on for
+        accelerator backends, off on CPU (the classic kernels are exact and
+        fast there). Override with POLS_TPU_MOVING_LANES=0/1."""
+        if self._moving_lanes is None:
+            self._moving_lanes = jax.default_backend() != "cpu"
+        return self._moving_lanes
+
+    @moving_lanes.setter
+    def moving_lanes(self, v) -> None:
+        self._moving_lanes = bool(v)
+
+    @property
+    def auto_shard(self) -> bool:
+        """Distribute grouped queries across all visible devices. On by
+        default with >1 accelerator device; off on CPU meshes (every query
+        shape would pay an 8-way SPMD recompile — the sharded paths are
+        exercised there explicitly by tests/test_autoshard.py). Override
+        with POLS_TPU_AUTO_SHARD=0/1."""
+        if self._auto_shard is None:
+            self._auto_shard = (
+                jax.device_count() > 1 and jax.default_backend() != "cpu"
+            )
+        return self._auto_shard
+
+    @auto_shard.setter
+    def auto_shard(self, v) -> None:
+        self._auto_shard = bool(v)
 
 
 def _env_flag(name: str):

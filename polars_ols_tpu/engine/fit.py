@@ -10,17 +10,20 @@ factorizations.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import List, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..config import CONFIG
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..series import ObjectSeries, Series, StructSeries
+from ..series import ObjectSeries, Series, StatisticsSeries, StructSeries
 from ..ops import masking
 from ..ops.cd import solve_elastic_net_cov
 from ..ops.direct import (
@@ -297,6 +300,8 @@ def _blocks_fit_kernel(
         return jnp.take(beta, gids, axis=0)
     beta_blocks = jnp.take(beta, block_group, axis=0)  # [S, K]
     preds_blocks = _block_preds(Xp, beta_blocks)
+    if want == "preds_flat":  # block-ordered; caller defers the permutation
+        return preds_blocks.reshape(-1)
     return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
@@ -335,6 +340,8 @@ def _blocks_fit_kernel_ozaki(
         return jnp.take(beta, gids, axis=0)
     beta_blocks = jnp.take(beta, block_group, axis=0)
     preds_blocks = _block_preds(Zp[..., 1:], beta_blocks)
+    if want == "preds_flat":
+        return preds_blocks.reshape(-1)
     return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
@@ -376,6 +383,17 @@ def _blocks_statistics_kernel(Zp, wp, block_group, num_groups: int, alpha: float
     }
 
 
+def _statistics_series(out, names, layout, layout_in):
+    """Device metric arrays -> a device-native statistics struct column
+    (reference struct shape: src/expressions.rs:485-508). No per-group host
+    loop: 10k-group queries do O(1) host work and the per-row broadcast
+    under .over() is a device gather."""
+    out_series = StatisticsSeries("statistics", names, dict(out))
+    if layout_in is not None:
+        out_series = out_series.gather(layout.gids)
+    return out_series
+
+
 def _statistics_blocks(layout, vals, valid, policy, kwargs, names, layout_in):
     """Fast statistics path: cached partition + one fused kernel + a single
     small host fetch; output rows mirror the reference's statistics struct."""
@@ -383,25 +401,59 @@ def _statistics_blocks(layout, vals, valid, policy, kwargs, names, layout_in):
     out = _blocks_statistics_kernel(
         Zp, wp, block_group, layout.num_groups, float(kwargs.alpha or 0.0)
     )
-    host = {k_: np.asarray(v) for k_, v in out.items()}
-    rows = []
-    for g in range(layout.num_groups):
-        rows.append(
-            {
-                "r2": float(host["r2"][g]),
-                "mae": float(host["mae"][g]),
-                "mse": float(host["mse"][g]),
-                "feature_names": list(names),
-                "coefficients": host["coefficients"][g].tolist(),
-                "standard_errors": host["standard_errors"][g].tolist(),
-                "t_values": host["t_values"][g].tolist(),
-                "p_values": host["p_values"][g].tolist(),
-            }
+    return _statistics_series(out, names, layout, layout_in)
+
+
+def _sharded_static(
+    layout, vals, valid, policy, alpha, cd_params, mode,
+    names, out_name, inv_w, layout_in, G, n,
+):
+    """Multi-chip static fit: returns the finished output Series, or None to
+    fall back to single-device execution (with a log explaining why)."""
+    if G <= 1:
+        logger.info(
+            "auto_shard: single group — whole-group solve stays on one "
+            "device (heavy-group row splits apply only to moment paths)"
         )
-    out_series = ObjectSeries("statistics", rows)
-    if layout_in is not None:
-        out_series = out_series.gather(layout.gids)
-    return out_series
+        return None
+    if mode == "statistics" and cd_params is not None:
+        logger.info("auto_shard: statistics+CD falls back to single device")
+        return None
+    from ..parallel import (
+        fit_moments_sharded,
+        make_mesh,
+        statistics_moments_sharded,
+    )
+
+    if valid is None:
+        X_fit, y_fit = vals[:, 1:], vals[:, 0]
+        wmask = jnp.ones(n, dtype=bool)
+        X_pred = None
+        predict_valid = None
+    else:
+        problem = masking.prepare_problem(
+            policy, vals[:, 0], valid[:, 0], vals[:, 1:], valid[:, 1:]
+        )
+        X_fit, y_fit, wmask = problem.X, problem.y, problem.fit_mask
+        X_pred, predict_valid = problem.X_predict, problem.predict_valid
+
+    mesh = make_mesh()
+    gids = layout.device_gids()
+    if mode == "statistics":
+        out = statistics_moments_sharded(
+            mesh, X_fit, y_fit, wmask, gids, num_groups=G, alpha=alpha
+        )
+        return _statistics_series(out, names, layout, layout_in)
+    beta, preds = fit_moments_sharded(
+        mesh, X_fit, y_fit, wmask, gids, num_groups=G, alpha=alpha,
+        cd_params=cd_params, X_pred=X_pred,
+    )
+    if mode == "coefficients":
+        rows = beta if layout_in is None else _gather_per_row(layout, beta)
+        return _coef_struct(rows, names)
+    if inv_w is not None:
+        preds = preds * inv_w
+    return Series(out_name, preds, predict_valid)
 
 
 def _blocks_cached(layout, vals, valid, policy: str):
@@ -677,37 +729,22 @@ def evaluate_least_squares(
                 vals, valid = _stack_cached(target, feat_series)
             alpha = float(kwargs.alpha or 0.0)
             names = [s.name for s in feat_series]
+            # multi-chip: distribute the grouped fit across every visible
+            # device (rows stay sharded where they land; psum_scatter merges
+            # partial moments exactly — SURVEY §2.3 DP row). Covers every
+            # null policy, CD (shard-local covariance iterations) and
+            # statistics; falls through (with a log) only for G <= 1.
+            if CONFIG.auto_shard and jax.device_count() > 1:
+                out = _sharded_static(
+                    layout, vals, valid, policy, alpha, cd_params, mode,
+                    names, out_name, inv_w, layout_in, G, n,
+                )
+                if out is not None:
+                    return out
             if mode == "statistics" and method != "cd":
                 return _statistics_blocks(
                     layout, vals, valid, policy, kwargs, names, layout_in
                 )
-            # multi-chip: distribute the grouped fit across every visible
-            # device (rows stay sharded where they land; psum_scatter merges
-            # partial moments exactly — SURVEY §2.3 DP row)
-            if (
-                CONFIG.auto_shard
-                and jax.device_count() > 1
-                and G > 1
-                and valid is None
-                and method != "cd"
-            ):
-                from ..parallel import fit_moments_sharded, make_mesh
-
-                beta, preds = fit_moments_sharded(
-                    make_mesh(),
-                    vals[:, 1:],
-                    vals[:, 0],
-                    jnp.ones(n, dtype=bool),
-                    layout.device_gids(),
-                    num_groups=G,
-                    alpha=alpha,
-                )
-                if mode == "coefficients":
-                    rows = beta if layout_in is None else _gather_per_row(layout, beta)
-                    return _coef_struct(rows, names)
-                if inv_w is not None:
-                    preds = preds * inv_w
-                return Series(out_name, preds, None)
             # block predictions reuse fit-side features; valid whenever the
             # predict features coincide with (or are masked over) fit ones
             blocks_ok = (mode != "statistics") and (
@@ -733,6 +770,17 @@ def evaluate_least_squares(
                 if mode == "coefficients":
                     beta = fit("beta" if layout_in is None else "rows")
                     return _coef_struct(beta, names)
+                if CONFIG.lazy_row_order and G > 1 and inv_w is None:
+                    # block-ordered output with a deferred row-order
+                    # permutation (BlockPermuted): reductions/slices/joins
+                    # on device never pay the [N] unpad gather
+                    from ..series import BlockPermuted
+
+                    flat = fit("preds_flat")
+                    lazy = BlockPermuted(
+                        flat, tail[2], pair=CONFIG.pair_gather
+                    )
+                    return Series(out_name, lazy, predict_valid)
                 preds = fit("preds")
                 if inv_w is not None:
                     preds = preds * inv_w
@@ -787,7 +835,33 @@ def evaluate_least_squares(
         return out
 
     if moving:
+        from ..ops.moving import (
+            lanes_applicable,
+            solve_recursive_lanes,
+            solve_rolling_lanes,
+        )
+
         (Xp, yp), vp = _pad_rows(layout, [problem.X, problem.y], problem.fit_mask)
+        R_pad = Xp.shape[1]
+        is_rls = function_name == "recursive_least_squares"
+        use_lanes = CONFIG.moving_lanes and lanes_applicable(
+            G, R_pad, k,
+            kwargs.half_life if is_rls else None,
+            rolling=not is_rls,
+        )
+        # multi-chip: moving models are whole-group scans — shard the group
+        # batch axis over the mesh (zero collectives; SURVEY §2.3)
+        shard_groups = (
+            CONFIG.auto_shard
+            and jax.device_count() > 1
+            and use_lanes
+            and G >= jax.device_count()
+        )
+        if CONFIG.auto_shard and jax.device_count() > 1 and not shard_groups:
+            logger.info(
+                "auto_shard: moving model stays on one device "
+                "(needs lane kernels and G >= device_count; G=%d, K=%d)", G, k
+            )
         chunk = _pick_chunk(G, k)
         if function_name == "recursive_least_squares":
             # quirk parity: the reference's predictions entry point ignores
@@ -797,18 +871,52 @@ def evaluate_least_squares(
                 mean0 = tuple(float(v) for v in mean0)
             elif mean0 is not None:
                 mean0 = float(mean0)
-            coefs_p = solve_recursive_least_squares(
-                Xp,
-                yp,
-                vp,
-                half_life=kwargs.half_life,
-                initial_state_covariance=float(
-                    10.0
-                    if kwargs.initial_state_covariance is None
-                    else kwargs.initial_state_covariance
-                ),
-                initial_state_mean=mean0,
-                chunk=chunk,
+            c0 = float(
+                10.0
+                if kwargs.initial_state_covariance is None
+                else kwargs.initial_state_covariance
+            )
+            if shard_groups:
+                from ..parallel import make_mesh, solve_groups_sharded
+
+                coefs_p = solve_groups_sharded(
+                    make_mesh(), solve_recursive_lanes, (Xp, yp, vp),
+                    half_life=kwargs.half_life,
+                    initial_state_covariance=c0,
+                    initial_state_mean=mean0,
+                )
+            elif use_lanes:
+                coefs_p = solve_recursive_lanes(
+                    Xp, yp, vp,
+                    half_life=kwargs.half_life,
+                    initial_state_covariance=c0,
+                    initial_state_mean=mean0,
+                )
+            else:
+                coefs_p = solve_recursive_least_squares(
+                    Xp, yp, vp,
+                    half_life=kwargs.half_life,
+                    initial_state_covariance=c0,
+                    initial_state_mean=mean0,
+                    chunk=chunk,
+                )
+        elif shard_groups:
+            from ..parallel import make_mesh, solve_groups_sharded
+
+            coefs_p = solve_groups_sharded(
+                make_mesh(), solve_rolling_lanes, (Xp, yp, vp),
+                window=int(kwargs.window_size),
+                min_periods=kwargs.min_periods,
+                alpha=float(kwargs.alpha or 0.0),
+                positional=(policy == "drop_window"),
+            )
+        elif use_lanes:
+            coefs_p = solve_rolling_lanes(
+                Xp, yp, vp,
+                window=int(kwargs.window_size),
+                min_periods=kwargs.min_periods,
+                alpha=float(kwargs.alpha or 0.0),
+                positional=(policy == "drop_window"),
             )
         else:
             coefs_p = solve_rolling_ols(

@@ -18,7 +18,7 @@ from .config import CONFIG  # noqa: F401
 import jax.numpy as jnp
 
 from .expr import Expr, col, parse_into_expr
-from .series import AnySeries, ObjectSeries, Series, StructSeries
+from .series import AnySeries, ObjectSeries, Series, StatisticsSeries, StructSeries
 
 
 def _to_series(name: str, data) -> AnySeries:
@@ -189,7 +189,21 @@ class DataFrame:
         out: List[AnySeries] = []
         for k, c in self._columns.items():
             if k in names:
-                if isinstance(c, StructSeries):
+                if isinstance(c, StatisticsSeries):
+                    # scalar metric fields stay device arrays; list fields
+                    # become host object columns only here, at the explicit
+                    # unnest boundary
+                    for fk in c.SCALAR_FIELDS:
+                        out.append(Series(fk, c.arrays[fk]))
+                    out.append(
+                        ObjectSeries(
+                            "feature_names", [list(c.feature_names)] * len(c)
+                        )
+                    )
+                    for fk in c.LIST_FIELDS:
+                        host = np.asarray(c.arrays[fk])
+                        out.append(ObjectSeries(fk, [r.tolist() for r in host]))
+                elif isinstance(c, StructSeries):
                     out.extend(c.fields())
                 elif isinstance(c, ObjectSeries) and c.values and isinstance(c.values[0], dict):
                     keys = c.values[0].keys()

@@ -2,7 +2,8 @@
 
 See `sharded` for the mesh/collective design: data-parallel partial-moment
 accumulation with ``psum_scatter`` merges (exact for groups spanning
-shards) and group-parallel batched solves for whole-group solvers.
+shards), shard-local covariance-form CD and statistics, and group-parallel
+batched solves for whole-group solvers (scans, SVD).
 """
 
 from .sharded import (
@@ -10,6 +11,7 @@ from .sharded import (
     make_mesh,
     shard_group_axis,
     solve_groups_sharded,
+    statistics_moments_sharded,
 )
 
 __all__ = [
@@ -17,4 +19,5 @@ __all__ = [
     "make_mesh",
     "shard_group_axis",
     "solve_groups_sharded",
+    "statistics_moments_sharded",
 ]

@@ -47,9 +47,13 @@ except ImportError:  # older jax
     def shard_map(f, **kw):
         return _shard_map_old(f, check_rep=False, **kw)
 
-from ..ops.linalg import solve_psd
+from ..ops.linalg import solve_psd, solve_psd_cond
 
 F64 = jnp.float64
+
+# cond(X'X) beyond which the distributed normal-equation solve runs CSNE
+# refinement sweeps (matches engine/fit.py's single-device gate)
+_COND_REFINE = 1.0e6
 
 
 def make_mesh(
@@ -98,12 +102,20 @@ def fit_moments_sharded(
     num_groups: int,
     alpha: float = 0.0,
     row_axes="data",
+    cd_params: Optional[Tuple[float, int, float, bool]] = None,
+    X_pred: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Distributed grouped normal-equation fit.
+    """Distributed grouped normal-equation (or covariance-form CD) fit.
 
     Returns (beta [G, K] fully replicated, predictions [N] row-sharded).
     Rows may land on any shard in any order: partial-moment ``psum_scatter``
     merges cross-shard groups exactly (associativity of XtX; SURVEY §2.3).
+    ``cd_params = (l1_ratio, max_iter, tol, positive)`` routes the scattered
+    per-group moments through covariance-form coordinate descent
+    (lasso/elastic-net/NNLS) instead of the Cholesky solve — the iteration
+    runs shard-locally on [G/n] groups with zero communication.
+    ``X_pred`` supplies the prediction-side features when the null policy
+    makes them differ from the fit-side ones (zero-filled full rows).
     """
     n_shards = _mesh_size(mesh, row_axes)
     N, K = X.shape
@@ -113,16 +125,17 @@ def fit_moments_sharded(
     yp = _pad_to(y.astype(F64), Np)
     wp = _pad_to(w.astype(bool), Np)  # padded rows -> False -> zero moments
     gp = _pad_to(jnp.asarray(gids, dtype=jnp.int32), Np)
+    Xpredp = Xp if X_pred is None else _pad_to(X_pred.astype(F64), Np)
 
     row_spec = P(row_axes)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(row_spec, row_spec, row_spec, row_spec),
+        in_specs=(row_spec, row_spec, row_spec, row_spec, row_spec),
         out_specs=(P(), row_spec),
     )
-    def step(Xl, yl, wl, gl):
+    def step(Xl, yl, wl, gl, Xpl):
         wf = wl.astype(F64)
         Xm = Xl * wf[:, None]
         # local partial moments for ALL groups (rows of other shards add 0)
@@ -132,17 +145,145 @@ def fit_moments_sharded(
             num_segments=Gp,
         )
         xty = jax.ops.segment_sum(Xm * yl[:, None], gl, num_segments=Gp)
+        counts = jax.ops.segment_sum(wf, gl, num_segments=Gp)
         # merge partials across shards + scatter the group axis in one op
         xtx = lax.psum_scatter(xtx, row_axes, scatter_dimension=0, tiled=True)
         xty = lax.psum_scatter(xty, row_axes, scatter_dimension=0, tiled=True)
-        A = xtx + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-        beta_local = solve_psd(A, xty)  # [Gp / n, K]
+        if cd_params is not None:
+            from ..ops.cd import solve_elastic_net_cov
+
+            counts = lax.psum_scatter(counts, row_axes, scatter_dimension=0, tiled=True)
+            l1_ratio, max_iter, tol, positive = cd_params
+            beta_local = solve_elastic_net_cov(
+                xtx, xty, counts, alpha=alpha, l1_ratio=l1_ratio,
+                max_iter=max_iter, tol=tol, positive=positive,
+            )
+        else:
+            A = xtx + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+            beta_local, cond_est = solve_psd_cond(A, xty)  # [Gp / n, K]
+
+            def refine(b):
+                # distributed CSNE sweeps (see engine/fit.py): the residual
+                # row pass is shard-local, X'r partials psum_scatter-merge
+                for _ in range(4):
+                    bg = lax.all_gather(b, row_axes, axis=0, tiled=True)
+                    resid = (
+                        yl - jnp.einsum("nk,nk->n", Xl, jnp.take(bg, gl, axis=0))
+                    ) * wf
+                    Xtr = lax.psum_scatter(
+                        jax.ops.segment_sum(
+                            Xl * resid[:, None], gl, num_segments=Gp
+                        ),
+                        row_axes, scatter_dimension=0, tiled=True,
+                    )
+                    b = b + solve_psd(A, Xtr - jnp.asarray(alpha, F64) * b)
+                return b
+
+            need = lax.pmax(jnp.max(cond_est), row_axes) > _COND_REFINE
+            beta_local = lax.cond(need, refine, lambda b: b, beta_local)
         beta = lax.all_gather(beta_local, row_axes, axis=0, tiled=True)
-        preds = jnp.einsum("nk,nk->n", Xl, jnp.take(beta, gl, axis=0))
+        preds = jnp.einsum("nk,nk->n", Xpl, jnp.take(beta, gl, axis=0))
         return beta, preds
 
-    beta, preds = step(Xp, yp, wp, gp)
+    beta, preds = step(Xp, yp, wp, gp, Xpredp)
     return beta[:num_groups], preds[:N]
+
+
+def statistics_moments_sharded(
+    mesh: Mesh,
+    X: jnp.ndarray,  # [N, K] fit features (excluded rows zeroed)
+    y: jnp.ndarray,  # [N]
+    w: jnp.ndarray,  # [N] bool fit mask
+    gids: jnp.ndarray,  # [N]
+    num_groups: int,
+    alpha: float = 0.0,
+    row_axes="data",
+):
+    """Distributed mode='statistics': moments merge with psum_scatter, each
+    shard solves + computes feature metrics for its 1/n slice of groups,
+    per-row residual partials (RSS/SAE/SST from *rows*, not moment
+    identities) psum-merge, and the finished [G]-shaped metric arrays are
+    all_gathered back. Returns a dict of replicated [G(,K)] arrays."""
+    from ..ops.statistics import feature_metrics
+
+    n_shards = _mesh_size(mesh, row_axes)
+    N, K = X.shape
+    Np = -(-N // n_shards) * n_shards
+    Gp = -(-num_groups // n_shards) * n_shards
+    Xp = _pad_to(X.astype(F64), Np)
+    yp = _pad_to(y.astype(F64), Np)
+    wp = _pad_to(w.astype(bool), Np)
+    gp = _pad_to(jnp.asarray(gids, dtype=jnp.int32), Np)
+
+    row_spec = P(row_axes)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(row_spec, row_spec, row_spec, row_spec),
+        out_specs=P(),
+    )
+    def step(Xl, yl, wl, gl):
+        wf = wl.astype(F64)
+        Xm = Xl * wf[:, None]
+        xtx = jax.ops.segment_sum(
+            jnp.einsum("nk,nl->nkl", Xm, Xl, preferred_element_type=F64),
+            gl, num_segments=Gp,
+        )
+        xty = jax.ops.segment_sum(Xm * yl[:, None], gl, num_segments=Gp)
+        counts = lax.psum(
+            jax.ops.segment_sum(wf, gl, num_segments=Gp), row_axes
+        )
+        sumy = lax.psum(
+            jax.ops.segment_sum(yl * wf, gl, num_segments=Gp), row_axes
+        )
+        xtx_s = lax.psum_scatter(xtx, row_axes, scatter_dimension=0, tiled=True)
+        xty_s = lax.psum_scatter(xty, row_axes, scatter_dimension=0, tiled=True)
+        A = xtx_s + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+        beta_local = solve_psd(A, xty_s)
+        beta = lax.all_gather(beta_local, row_axes, axis=0, tiled=True)  # [Gp, K]
+        # per-row residual partials with the replicated beta
+        resid = (yl - jnp.einsum("nk,nk->n", Xl, jnp.take(beta, gl, axis=0))) * wf
+        rss = lax.psum(
+            jax.ops.segment_sum(resid * resid, gl, num_segments=Gp), row_axes
+        )
+        sae = lax.psum(
+            jax.ops.segment_sum(jnp.abs(resid), gl, num_segments=Gp), row_axes
+        )
+        n_safe = jnp.maximum(counts, 1.0)
+        mean = sumy / n_safe
+        dev = (yl - jnp.take(mean, gl, axis=0)) * wf
+        sst = lax.psum(
+            jax.ops.segment_sum(dev * dev, gl, num_segments=Gp), row_axes
+        )
+        idx0 = lax.axis_index(row_axes) * (Gp // n_shards)
+        rss_s = lax.dynamic_slice_in_dim(rss, idx0, Gp // n_shards)
+        counts_s = lax.dynamic_slice_in_dim(counts, idx0, Gp // n_shards)
+        fm = feature_metrics(xtx_s, xty_s, rss_s, counts_s, alpha)
+        gath = lambda a: lax.all_gather(a, row_axes, axis=0, tiled=True)
+        return (
+            beta,
+            rss,
+            sae,
+            sst,
+            counts,
+            gath(fm["standard_errors"]),
+            gath(fm["t_values"]),
+            gath(fm["p_values"]),
+        )
+
+    beta, rss, sae, sst, counts, se, tv, pv = step(Xp, yp, wp, gp)
+    n_safe = jnp.maximum(counts, 1.0)
+    sl = slice(None, num_groups)
+    return {
+        "coefficients": beta[sl],
+        "mse": (rss / n_safe)[sl],
+        "mae": (sae / n_safe)[sl],
+        "r2": (1.0 - rss / sst)[sl],
+        "standard_errors": se[sl],
+        "t_values": tv[sl],
+        "p_values": pv[sl],
+    }
 
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,67 @@
+"""Deferred row-order permutation of grouped prediction outputs
+(series.BlockPermuted): correctness vs the eager path, point/slice access
+without full materialization, and transparent materialization for
+downstream consumers."""
+
+import numpy as np
+import pytest
+
+import polars_ols_tpu as pot
+from polars_ols_tpu import col
+from polars_ols_tpu.config import CONFIG
+
+
+@pytest.fixture
+def gdf():
+    rng = np.random.default_rng(21)
+    n = 5_000
+    x1, x2 = rng.normal(size=n), rng.normal(size=n)
+    y = 2.0 * x1 - 1.0 * x2 + rng.normal(size=n) * 0.1
+    g = rng.integers(50, size=n).astype(float)
+    return pot.DataFrame({"y": y, "x1": x1, "x2": x2, "g": g})
+
+
+def _run(df, lazy: bool):
+    CONFIG.lazy_row_order = lazy
+    try:
+        return df.select(
+            col("y").least_squares.ols(col("x1"), col("x2")).over("g")
+        )["y"]
+    finally:
+        CONFIG.lazy_row_order = True
+
+
+def test_lazy_matches_eager(gdf):
+    eager = _run(gdf, lazy=False)
+    lazy = _run(gdf, lazy=True)
+    assert lazy.is_lazy and not eager.is_lazy
+    np.testing.assert_allclose(
+        lazy.to_numpy(), eager.to_numpy(), rtol=1e-12, atol=1e-12
+    )
+    assert not lazy.is_lazy  # materialized (and cached) by the full access
+
+
+def test_lazy_point_access_before_materialization(gdf):
+    lazy = _run(gdf, lazy=True)
+    eager = _run(gdf, lazy=False).to_numpy()
+    tail = lazy.tail(4).to_numpy()
+    head = lazy.head(3).to_numpy()
+    assert lazy.is_lazy  # point access must not materialize the column
+    np.testing.assert_allclose(tail, eager[-4:], rtol=1e-12)
+    np.testing.assert_allclose(head, eager[:3], rtol=1e-12)
+    np.testing.assert_allclose(
+        lazy[10:20].to_numpy(), eager[10:20], rtol=1e-12
+    )
+    assert lazy.is_lazy
+
+
+def test_lazy_residuals_transparent(gdf):
+    """residuals = target - predictions goes through Series arithmetic,
+    which must transparently materialize the lazy operand."""
+    out = gdf.select(
+        col("y").least_squares.ols(col("x1"), col("x2"), mode="residuals").over("g")
+    )["y"].to_numpy()
+    eager_preds = _run(gdf, lazy=False).to_numpy()
+    np.testing.assert_allclose(
+        out, gdf["y"].to_numpy() - eager_preds, rtol=1e-10, atol=1e-12
+    )
