@@ -66,7 +66,7 @@ def _queries(df, k: int, grouped: bool):
     def over(e):
         return e.over("g") if grouped else e
 
-    return {
+    out = {
         "ols_qr": lambda: df.select(over(ls.ols(*feats, solve_method=None if grouped else "qr")))["y"],
         "ols_svd": lambda: df.select(over(ls.ols(*feats, solve_method="svd")))["y"],
         "ridge_chol": lambda: df.select(over(ls.ridge(*feats, alpha=0.1)))["y"],
@@ -78,6 +78,11 @@ def _queries(df, k: int, grouped: bool):
         "rls": lambda: df.select(over(ls.rls(*feats, half_life=252.0)))["y"],
         "rolling": lambda: df.select(over(ls.rolling_ols(*feats, window_size=252)))["y"],
     }
+    if grouped:
+        out["ols_qr_explicit"] = lambda: df.select(
+            over(ls.ols(*feats, solve_method="qr"))
+        )["y"]
+    return out
 
 
 def run_config(name: str, n: int, k: int, n_groups=None):

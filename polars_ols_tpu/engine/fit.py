@@ -92,7 +92,7 @@ def _gather_per_row(layout, per_group: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 # fused static fit + predict (normal-equation path)
 # --------------------------------------------------------------------------- #
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "policy", "want"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "policy", "want", "force_refine"))
 def _chol_fit_kernel(
     vals,  # [N, 1+K] target column 0, features 1..K (raw values)
     valid,  # [N, 1+K] bool validity, or None when fully valid
@@ -104,6 +104,7 @@ def _chol_fit_kernel(
     alpha: float,
     policy: str,
     want: str,  # "beta" | "rows" | "preds"
+    force_refine: bool = False,  # explicit 'qr': unconditional CSNE sweeps
 ):
     """One fused device program for grouped normal-equation fits:
     null-policy masking -> single padded gather -> MXU moment matmuls ->
@@ -146,13 +147,16 @@ def _chol_fit_kernel(
         refine = (Xp, yp, wp.astype(F64), block_group, num_groups)
 
     A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-    beta, cond_est = solve_psd_cond(A, Xty)
-    beta = lax.cond(
-        jnp.max(cond_est) > _COND_REFINE,
-        lambda b: _csne_refine_blocks(A, b, *refine, alpha),
-        lambda b: b,
-        beta,
-    )
+    if force_refine:
+        beta = _csne_refine_blocks(A, solve_psd(A, Xty), *refine, alpha)
+    else:
+        beta, cond_est = solve_psd_cond(A, Xty)
+        beta = lax.cond(
+            jnp.max(cond_est) > _COND_REFINE,
+            lambda b: _csne_refine_blocks(A, b, *refine, alpha),
+            lambda b: b,
+            beta,
+        )
     if want == "beta":
         return beta
     coef_rows = (
@@ -185,6 +189,63 @@ def _build_blocks(vals, valid, gather, pmask, policy: str, S: int, R: int):
     Zp = jnp.take(Z, gather, axis=0).reshape((S, R, Z.shape[1]))
     wp = pmask & (Zp[..., -1] > 0.5)
     return Zp[..., :-1], wp, problem.predict_valid
+
+
+@partial(jax.jit, static_argnames=("policy", "G", "R", "moving"))
+def _build_padded_layout(
+    vals, valid, gather, pmask, policy: str, G: int, R: int, moving: bool
+):
+    """Materialize the fully padded [G, R] layout (run once per (columns,
+    layout, policy); cached): null-policy masking + ONE row gather of the
+    packed [target, features, mask] matrix instead of three separate
+    gathers per query. ``moving`` selects the moving-window masking
+    semantics (zero-filled fit with validity carried separately,
+    src/expressions.rs:656,683)."""
+    K = vals.shape[1] - 1
+    if valid is None:
+        y_z, X_z = vals[:, 0], vals[:, 1:]
+        vmask = jnp.ones(vals.shape[0], dtype=bool)
+        predict_valid = None
+    else:
+        problem = masking.prepare_problem(
+            policy, vals[:, 0], valid[:, 0], vals[:, 1:], valid[:, 1:],
+            moving=moving,
+        )
+        y_z, X_z, vmask = problem.y, problem.X, problem.fit_mask
+        predict_valid = problem.predict_valid
+    if G == 1:
+        return X_z[None], y_z[None], vmask[None], predict_valid
+    Z = jnp.concatenate(
+        [y_z[:, None], X_z, vmask[:, None].astype(F64)], axis=1
+    )
+    Zp = jnp.take(Z, gather, axis=0).reshape((G, R, K + 2))
+    vp = pmask & (Zp[..., -1] > 0.5)
+    return Zp[..., 1 : K + 1], Zp[..., 0], vp, predict_valid
+
+
+def _padded_cached(layout, vals, valid, policy: str, moving: bool):
+    """Padded-layout cache (LRU of 2, like `_blocks_cached`): steady-state
+    moving-window and row-space (SVD) queries skip the null-policy pass and
+    the [N -> G x R] gather entirely."""
+    G = layout.num_groups
+    if G == 1:
+        gather, pmask, R = None, None, vals.shape[0]
+    else:
+        gather, pmask, R = layout.device_padded()
+    key = ("movpad", id(vals), id(valid), policy, moving)
+    if key not in layout._dev:
+        out = _build_padded_layout(vals, valid, gather, pmask, policy, G, R, moving)
+        mov_keys = [k_ for k_ in layout._dev if isinstance(k_, tuple) and k_[0] == "movpad"]
+        if len(mov_keys) >= 2:
+            del layout._dev[mov_keys[0]]
+        layout._dev[key] = out + (vals, valid)
+    entry = layout._dev.pop(key)
+    layout._dev[key] = entry
+    return entry[0], entry[1], entry[2], entry[3]
+
+
+def _moving_cached(layout, vals, valid, policy: str):
+    return _padded_cached(layout, vals, valid, policy, moving=True)
 
 
 def _block_preds(Xp, beta_blocks):
@@ -237,8 +298,10 @@ def _csne_refine_blocks(A, beta, Xp, yp, wf, block_group, num_groups, alpha):
     for _ in range(4):
         bb = jnp.take(beta, block_group, axis=0)
         resid = (yp - _block_preds(Xp, bb)) * wf
+        # X'r as elementwise-multiply + reduce: an einsum here lowers to the
+        # emulated-f64 MXU (~50 ms/sweep at 2M rows vs ~5 ms on the VPU)
         Xtr = jax.ops.segment_sum(
-            jnp.einsum("srk,sr->sk", Xp, resid, preferred_element_type=F64),
+            (Xp * resid[..., None]).sum(axis=1),
             block_group,
             num_segments=num_groups,
         )
@@ -246,16 +309,28 @@ def _csne_refine_blocks(A, beta, Xp, yp, wf, block_group, num_groups, alpha):
     return beta
 
 
-def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None):
+def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None,
+                    force_refine: bool = False):
     """Normal-equation Cholesky solve (with conditioning-gated CSNE
     refinement when row blocks are supplied), or covariance-form coordinate
-    descent when cd hyper-parameters are supplied (lasso/enet/NNLS)."""
+    descent when cd hyper-parameters are supplied (lasso/enet/NNLS).
+
+    ``force_refine`` runs the CSNE sweeps unconditionally: this is the
+    engine's CholeskyQR2-equivalent path for explicit solve_method='qr'
+    (chol factor of the moments as R, row-space residual refinement —
+    QR-grade forward error for cond(X) up to ~1e7 at a fraction of a
+    factorization's cost)."""
     if cd_params is None:
         K = XtX.shape[-1]
         A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
         if refine is None:
             return solve_psd(A, Xty)
         Xp, yp, wf, block_group, num_groups = refine
+        if force_refine:
+            beta = solve_psd(A, Xty)
+            return _csne_refine_blocks(
+                A, beta, Xp, yp, wf, block_group, num_groups, alpha
+            )
         beta, cond_est = solve_psd_cond(A, Xty)
         return lax.cond(
             jnp.max(cond_est) > _COND_REFINE,
@@ -272,7 +347,7 @@ def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None):
     )
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine"))
 def _blocks_fit_kernel(
     Zp,  # [S, R, 1+K] target in slot 0
     wp,  # [S, R]
@@ -283,6 +358,7 @@ def _blocks_fit_kernel(
     alpha: float,
     want: str,  # "beta" | "rows" | "preds"
     cd_params=None,  # static (l1_ratio, max_iter, tol, positive) for CD
+    force_refine: bool = False,  # static: explicit 'qr' (CholeskyQR2 path)
 ):
     """Steady-state grouped fit on the materialized partition: MXU moment
     matmuls + vectorized Cholesky (or covariance-form CD); predictions are
@@ -293,7 +369,7 @@ def _blocks_fit_kernel(
     yp, Xp = Zp[..., 0], Zp[..., 1:]
     XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
     refine = (Xp, yp, wp.astype(F64), block_group, num_groups)
-    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params, refine)
+    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params, refine, force_refine)
     if want == "beta":
         return beta
     if want == "rows":
@@ -305,7 +381,7 @@ def _blocks_fit_kernel(
     return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine"))
 def _blocks_fit_kernel_ozaki(
     Zp,  # [S, R, 1+K] target in slot 0 (used for block predictions)
     digits,  # [D, S, R, 1+K] int8 digit planes (padding rows zeroed)
@@ -318,6 +394,7 @@ def _blocks_fit_kernel_ozaki(
     alpha: float,
     want: str,
     cd_params=None,
+    force_refine: bool = False,
 ):
     """Digit-matmul variant of `_blocks_fit_kernel`: the full moment matrix
     Z^T diag(w) Z comes from exact int8 MXU matmuls (ops/ozaki.py) instead
@@ -333,7 +410,7 @@ def _blocks_fit_kernel_ozaki(
     XtX = M[:, 1:, 1:]
     Xty = M[:, 1:, 0]
     refine = (Zp[..., 1:], Zp[..., 0], wp.astype(F64), block_group, num_groups)
-    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params, refine)
+    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params, refine, force_refine)
     if want == "beta":
         return beta
     if want == "rows":
@@ -620,12 +697,13 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
     positive = bool(kwargs.positive)
     if method is None:
         method = _resolve_method(layout, kwargs, k)
-    if method in ("chol", "lu"):
+    if method in ("chol", "lu") or (method == "qr" and problem.y.ndim == 1):
         XtX, Xty, _ = _moments(layout, problem.X, problem.y, problem.fit_mask)
         if problem.y.ndim == 1:
             return _solve_ne_refined_rows(
                 XtX, Xty, problem.X, problem.y, problem.fit_mask,
                 layout.device_gids(), layout.num_groups, float(alpha),
+                force_refine=method == "qr",
             )
         A = jnp.asarray(float(alpha), F64) * jnp.eye(k, dtype=F64) + XtX
         return solve_psd(A, Xty)
@@ -645,29 +723,144 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
     (Xp, yp), wp = _pad_rows(layout, [problem.X, problem.y], problem.fit_mask)
     Xp = Xp * wp[..., None]
     yp = yp * (wp if yp.ndim == 2 else wp[..., None])
+    if (
+        method == "svd"
+        and k <= 8
+        and layout.num_groups >= 64
+        and Xp.shape[1] > k
+    ):
+        # grouped explicit SVD: lane-major Householder + one-sided Jacobi
+        # (exact to ~1e-14; the batched SVD custom call costs 20x more)
+        return _svd_lanes_jit(Xp, yp, float(alpha), kwargs.rcond)
     return solve_from_rows(Xp, yp, float(alpha), method, kwargs.rcond)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha"))
-def _solve_ne_refined_rows(XtX, Xty, X, y, w, gids, num_groups: int, alpha: float):
+@partial(jax.jit, static_argnames=("alpha", "rcond"))
+def _svd_lanes_jit(Xp, yp, alpha: float, rcond):
+    from ..ops.linalg import svd_lstsq_lanes
+
+    return svd_lstsq_lanes(Xp, yp, alpha=alpha, rcond=rcond)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_groups", "alpha", "rcond", "want", "use_lanes"),
+)
+def _svd_fit_kernel(
+    Xp,  # [G, R, K] padded (cached layout; excluded rows zeroed)
+    yp,  # [G, R]
+    vp,  # [G, R] bool fit mask
+    gids,  # [N]
+    num_groups: int,
+    alpha: float,
+    rcond,
+    want: str,  # "beta" | "rows" | "preds"
+    use_lanes: bool,
+):
+    """Fused explicit-SVD fit on the cached padded layout: minimum-norm
+    (ridge-shrunk) solves via lane-major Householder + Jacobi when the
+    group batch fills the lanes, the row-major reduction otherwise;
+    predictions stay in the padded layout for the deferred unpad."""
+    from ..ops.linalg import svd_lstsq, svd_lstsq_lanes
+
+    wf = vp.astype(F64)
+    Xm = Xp * wf[..., None]
+    ym = yp * wf
+    if use_lanes:
+        beta = svd_lstsq_lanes(Xm, ym, alpha=alpha, rcond=rcond)
+    else:
+        beta = svd_lstsq(Xm, ym, alpha=alpha, rcond=rcond)
+    if want == "beta":
+        return beta
+    if want == "rows":
+        return jnp.take(beta, gids, axis=0)
+    preds_p = Xp[..., 0] * beta[:, None, 0]
+    for kk in range(1, Xp.shape[-1]):
+        preds_p = preds_p + Xp[..., kk] * beta[:, None, kk]
+    return preds_p
+
+
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "force_refine"))
+def _solve_ne_refined_rows(
+    XtX, Xty, X, y, w, gids, num_groups: int, alpha: float,
+    force_refine: bool = False,
+):
     """Row-space variant of the conditioning-gated CSNE refinement for the
     general (non-fused) normal-equation path: same math as
-    `_csne_refine_blocks` but over [N]-shaped rows with segment sums."""
+    `_csne_refine_blocks` but over [N]-shaped rows with segment sums.
+    ``force_refine`` = explicit 'qr' (CholeskyQR2-equivalent)."""
     k = XtX.shape[-1]
     A = XtX + jnp.asarray(alpha, F64) * jnp.eye(k, dtype=F64)
-    beta, cond_est = solve_psd_cond(A, Xty)
     wf = w.astype(F64)
 
     def refine(b):
         for _ in range(4):
-            resid = (y - jnp.einsum("nk,nk->n", X, jnp.take(b, gids, axis=0))) * wf
+            resid = (y - (X * jnp.take(b, gids, axis=0)).sum(axis=1)) * wf
             Xtr = jax.ops.segment_sum(
                 X * resid[:, None], gids, num_segments=num_groups
             )
             b = b + solve_psd(A, Xtr - jnp.asarray(alpha, F64) * b)
         return b
 
+    if force_refine:
+        return refine(solve_psd(A, Xty))
+    beta, cond_est = solve_psd_cond(A, Xty)
     return lax.cond(jnp.max(cond_est) > _COND_REFINE, refine, lambda b: b, beta)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "params", "k", "nan_to_null", "lazy", "pair"),
+)
+def _moving_query_kernel(
+    Xp, yp, vp, unpad_idx, predict_valid,
+    model: str,  # "rls" | "rolling"
+    params: tuple,  # static model hyper-parameters
+    k: int,
+    nan_to_null: bool,  # rolling: NaN coefficients -> null predictions
+    lazy: bool,  # return block-ordered flat preds for a deferred unpad
+    pair: bool,
+):
+    """One fused device program for a moving-model predictions query:
+    lane kernel -> padded-layout predictions -> validity -> (deferred)
+    unpad. Each eager op outside jit costs a serialized ~30 ms dispatch
+    round-trip through this backend's tunnel — fusing the multiply-adds,
+    the NaN->null mask and the unpad gathers into the kernel's program
+    removed ~350 ms from the grouped rolling query."""
+    from ..ops.moving import solve_recursive_lanes, solve_rolling_lanes
+
+    if model == "rls":
+        half_life, c0, mean0 = params
+        coefs_p = solve_recursive_lanes(
+            Xp, yp, vp, half_life=half_life,
+            initial_state_covariance=c0, initial_state_mean=mean0,
+        )
+    else:
+        window, min_periods, alpha, positional = params
+        coefs_p = solve_rolling_lanes(
+            Xp, yp, vp, window=window, min_periods=min_periods,
+            alpha=alpha, positional=positional,
+        )
+    preds_p = Xp[..., 0] * coefs_p[..., 0]
+    for kk in range(1, k):
+        preds_p = preds_p + Xp[..., kk] * coefs_p[..., kk]
+    flat = preds_p.reshape(-1)
+    validity = predict_valid
+    if nan_to_null:
+        finite = ~jnp.isnan(flat)
+        finite_row = finite if unpad_idx is None else jnp.take(finite, unpad_idx, axis=0)
+        validity = finite_row if validity is None else validity & finite_row
+    if lazy:
+        return flat, validity
+    if unpad_idx is None:  # single group: row order == padded order
+        return flat, validity
+    if not pair:
+        return jnp.take(flat, unpad_idx, axis=0), validity
+    hi = flat.astype(jnp.float32)
+    lo = (flat - hi.astype(F64)).astype(jnp.float32)
+    pairs = jnp.stack([hi, lo], axis=-1)
+    out = jnp.take(pairs, unpad_idx, axis=0)
+    return out[:, 0].astype(F64) + out[:, 1].astype(F64), validity
 
 
 def _coef_struct(beta: jnp.ndarray, names: List[str], name: str = "coefficients"):
@@ -711,7 +904,12 @@ def evaluate_least_squares(
         and not isinstance(target, StructSeries)
     ):
         method = _resolve_method(layout, kwargs, k)
-        if method in ("chol", "lu", "cd"):
+        # explicit 'qr' runs the CholeskyQR2-equivalent path: fused moments
+        # + Cholesky factor + unconditional CSNE row-space refinement
+        # (QR-grade forward error at a fraction of a factorization's cost;
+        # reference col-piv QR: src/least_squares.rs:193-205)
+        if method in ("chol", "lu", "cd", "qr"):
+            force_refine = method == "qr"
             cd_params = None
             if method == "cd":
                 cd_params = (
@@ -761,11 +959,12 @@ def evaluate_least_squares(
                 )
                 if digits is not None:
                     fit = lambda want: _blocks_fit_kernel_ozaki(
-                        Zp, digits, scales, *tail, G, alpha, want, cd_params
+                        Zp, digits, scales, *tail, G, alpha, want, cd_params,
+                        force_refine,
                     )
                 else:
                     fit = lambda want: _blocks_fit_kernel(
-                        Zp, *tail, G, alpha, want, cd_params
+                        Zp, *tail, G, alpha, want, cd_params, force_refine
                     )
                 if mode == "coefficients":
                     beta = fit("beta" if layout_in is None else "rows")
@@ -785,7 +984,7 @@ def evaluate_least_squares(
                 if inv_w is not None:
                     preds = preds * inv_w
                 return Series(out_name, preds, predict_valid)
-            if method in ("chol", "lu"):
+            if method in ("chol", "lu", "qr"):
                 if G == 1:
                     g = pmask = block_group = None
                 else:
@@ -793,55 +992,65 @@ def evaluate_least_squares(
                 args = (vals, valid, g, pmask, block_group, layout.device_gids())
                 if mode == "coefficients":
                     want = "beta" if layout_in is None else "rows"
-                    beta = _chol_fit_kernel(*args, G, alpha, policy, want)
+                    beta = _chol_fit_kernel(*args, G, alpha, policy, want, force_refine)
                     return _coef_struct(beta, names)
-                preds, predict_valid = _chol_fit_kernel(*args, G, alpha, policy, "preds")
+                preds, predict_valid = _chol_fit_kernel(
+                    *args, G, alpha, policy, "preds", force_refine
+                )
                 if inv_w is not None:
                     preds = preds * inv_w
                 return Series(out_name, preds, predict_valid)
             # cd with statistics / unsupported policy: general path below
 
-    y, yv, X, xv, names, target_names = _extract(target, feat_series)
-    problem = masking.prepare_problem(policy, y, yv, X, xv, moving=moving)
-    inv_w = None
-    if weights is not None:
-        sq, inv_w = _weight_vectors(
-            jnp.asarray(weights.values, dtype=F64), weights.valid_mask()
-        )
-        problem = masking.MaskedProblem(
-            problem.y * (sq if problem.y.ndim == 1 else sq[:, None]),
-            problem.X * sq[:, None],
-            problem.fit_mask,
-            problem.X_predict * sq[:, None],
-            problem.predict_valid,
-        )
+        if method == "svd" and mode != "statistics":
+            # fused explicit-SVD path on the cached padded layout (the
+            # uncached variant re-gathered [G, R_max] rows every call)
+            inv_w = None
+            if weights is not None:
+                vals, valid, _, inv_w = _weighted_stack_cached(
+                    target, feat_series, weights
+                )
+            else:
+                vals, valid = _stack_cached(target, feat_series)
+            if valid is None or policy in ("zero", "drop"):
+                names = [s.name for s in feat_series]
+                alpha = float(kwargs.alpha or 0.0)
+                Xp, yp, vp, predict_valid = _padded_cached(
+                    layout, vals, valid, policy, moving=False
+                )
+                use_lanes_svd = k <= 8 and G >= 64 and Xp.shape[1] > k
+                args_svd = (
+                    Xp, yp, vp, layout.device_gids(), G, alpha, kwargs.rcond,
+                )
+                if mode == "coefficients":
+                    want = "beta" if layout_in is None else "rows"
+                    beta = _svd_fit_kernel(*args_svd, want, use_lanes_svd)
+                    return _coef_struct(beta, names)
+                preds_p = _svd_fit_kernel(*args_svd, "preds", use_lanes_svd)
+                if G > 1 and CONFIG.lazy_row_order and inv_w is None:
+                    from ..series import BlockPermuted
 
-    if function_name == "least_squares":
-        if mode == "statistics":
-            return _statistics(problem, layout, kwargs, names, layout_in, k)
-        beta = _fit_static(problem, layout, kwargs, k)
-        if beta.ndim == 3:  # multi-target [G, K, M]
-            return _multi_target_output(problem, beta, layout, target_names)
-        if mode == "coefficients":
-            if layout_in is None:
-                return _coef_struct(beta, names)
-            return _coef_struct(_gather_per_row(layout, beta), names)
-        coef_rows = (
-            jnp.broadcast_to(beta[0], (n, k)) if G == 1 else _gather_per_row(layout, beta)
-        )
-        out = _predictions(problem, coef_rows, out_name)
-        if inv_w is not None:
-            out = Series(out_name, out.values * inv_w, out.validity)
-        return out
+                    lazy = BlockPermuted(
+                        preds_p.reshape(-1),
+                        layout.device_unpad(preds_p.shape[1]),
+                        pair=CONFIG.pair_gather,
+                    )
+                    return Series(out_name, lazy, predict_valid)
+                preds = _unpad_rows(layout, preds_p)
+                if inv_w is not None:
+                    preds = preds * inv_w
+                return Series(out_name, preds, predict_valid)
 
     if moving:
+        names = [s.name for s in feat_series]
         from ..ops.moving import (
             lanes_applicable,
             solve_recursive_lanes,
             solve_rolling_lanes,
         )
 
-        (Xp, yp), vp = _pad_rows(layout, [problem.X, problem.y], problem.fit_mask)
+        vals_m, valid_m = _stack_cached(target, feat_series)
+        Xp, yp, vp, predict_valid = _moving_cached(layout, vals_m, valid_m, policy)
         R_pad = Xp.shape[1]
         is_rls = function_name == "recursive_least_squares"
         use_lanes = CONFIG.moving_lanes and lanes_applicable(
@@ -849,6 +1058,66 @@ def evaluate_least_squares(
             kwargs.half_life if is_rls else None,
             rolling=not is_rls,
         )
+        if is_rls:
+            mean0_q = kwargs.initial_state_mean if mode == "coefficients" else None
+            if isinstance(mean0_q, (list, tuple)):
+                mean0_q = tuple(float(v) for v in mean0_q)
+            elif mean0_q is not None:
+                mean0_q = float(mean0_q)
+            model_params = (
+                kwargs.half_life,
+                float(
+                    10.0
+                    if kwargs.initial_state_covariance is None
+                    else kwargs.initial_state_covariance
+                ),
+                mean0_q,
+            )
+        else:
+            window_i = int(kwargs.window_size)
+            mp = kwargs.min_periods
+            # with a fully valid column stack every row is a window member,
+            # so valid-rank ('drop' family) semantics coincide with the
+            # positional window — which needs a shifted slice instead of a
+            # rank scatter + per-lane gathers (measured 690 ms -> 195 ms at
+            # the grouped config)
+            positional_q = policy == "drop_window" or (
+                valid_m is None and (mp is None or mp <= window_i)
+            )
+            model_params = (
+                window_i,
+                mp,
+                float(kwargs.alpha or 0.0),
+                positional_q,
+            )
+        shard_ok = (
+            CONFIG.auto_shard and jax.device_count() > 1 and use_lanes
+            and G >= jax.device_count()
+        )
+        if use_lanes and not shard_ok and mode != "coefficients":
+            # the whole predictions query as ONE device program (kernel +
+            # multiply-adds + NaN->null + unpad): eager post-ops each pay a
+            # serialized ~30 ms dispatch round-trip on this backend
+            lazy_out = G > 1 and CONFIG.lazy_row_order
+            unpad_idx = layout.device_unpad(R_pad) if G > 1 else None
+            flat, validity = _moving_query_kernel(
+                Xp, yp, vp, unpad_idx, predict_valid,
+                model="rls" if is_rls else "rolling",
+                params=model_params,
+                k=k,
+                nan_to_null=not is_rls,
+                lazy=lazy_out,
+                pair=CONFIG.pair_gather,
+            )
+            if lazy_out:
+                from ..series import BlockPermuted
+
+                return Series(
+                    out_name,
+                    BlockPermuted(flat, unpad_idx, pair=CONFIG.pair_gather),
+                    validity,
+                )
+            return Series(out_name, flat, validity)
         # multi-chip: moving models are whole-group scans — shard the group
         # batch axis over the mesh (zero collectives; SURVEY §2.3)
         shard_groups = (
@@ -905,34 +1174,91 @@ def evaluate_least_squares(
 
             coefs_p = solve_groups_sharded(
                 make_mesh(), solve_rolling_lanes, (Xp, yp, vp),
-                window=int(kwargs.window_size),
-                min_periods=kwargs.min_periods,
-                alpha=float(kwargs.alpha or 0.0),
-                positional=(policy == "drop_window"),
+                window=model_params[0],
+                min_periods=model_params[1],
+                alpha=model_params[2],
+                positional=model_params[3],
             )
         elif use_lanes:
             coefs_p = solve_rolling_lanes(
                 Xp, yp, vp,
-                window=int(kwargs.window_size),
-                min_periods=kwargs.min_periods,
-                alpha=float(kwargs.alpha or 0.0),
-                positional=(policy == "drop_window"),
+                window=model_params[0],
+                min_periods=model_params[1],
+                alpha=model_params[2],
+                positional=model_params[3],
             )
         else:
             coefs_p = solve_rolling_ols(
                 Xp,
                 yp,
                 vp,
-                window=int(kwargs.window_size),
-                min_periods=kwargs.min_periods,
-                alpha=float(kwargs.alpha or 0.0),
-                positional=(policy == "drop_window"),
+                window=model_params[0],
+                min_periods=model_params[1],
+                alpha=model_params[2],
+                positional=model_params[3],
                 chunk=chunk,
             )
-        coef_rows = _unpad_rows(layout, coefs_p)  # [N, K]
         if mode == "coefficients":
-            return _coef_struct(coef_rows, names)
-        return _predictions(problem, coef_rows, out_name)
+            return _coef_struct(_unpad_rows(layout, coefs_p), names)
+        # predictions in the padded layout: K fused f64 multiply-adds (an
+        # [N,K] row-space einsum would hit the emulated-f64 MXU) and ONE
+        # [N]-element unpad — deferred like the static path's block outputs
+        preds_p = Xp[..., 0] * coefs_p[..., 0]
+        for kk in range(1, k):
+            preds_p = preds_p + Xp[..., kk] * coefs_p[..., kk]
+        if not is_rls:
+            # warm-up NaN predictions become nulls (engine-side equivalent
+            # of the reference's fill_nan post-step, least_squares.py:407)
+            finite = _unpad_rows(layout, ~jnp.isnan(preds_p))
+            predict_valid = (
+                finite if predict_valid is None else predict_valid & finite
+            )
+        if G > 1 and CONFIG.lazy_row_order:
+            from ..series import BlockPermuted
+
+            R_full = preds_p.shape[1]
+            lazy = BlockPermuted(
+                preds_p.reshape(-1),
+                layout.device_unpad(R_full),
+                pair=CONFIG.pair_gather,
+            )
+            return Series(out_name, lazy, predict_valid)
+        preds = _unpad_rows(layout, preds_p)
+        return Series(out_name, preds, predict_valid)
+
+
+    y, yv, X, xv, names, target_names = _extract(target, feat_series)
+    problem = masking.prepare_problem(policy, y, yv, X, xv, moving=moving)
+    inv_w = None
+    if weights is not None:
+        sq, inv_w = _weight_vectors(
+            jnp.asarray(weights.values, dtype=F64), weights.valid_mask()
+        )
+        problem = masking.MaskedProblem(
+            problem.y * (sq if problem.y.ndim == 1 else sq[:, None]),
+            problem.X * sq[:, None],
+            problem.fit_mask,
+            problem.X_predict * sq[:, None],
+            problem.predict_valid,
+        )
+
+    if function_name == "least_squares":
+        if mode == "statistics":
+            return _statistics(problem, layout, kwargs, names, layout_in, k)
+        beta = _fit_static(problem, layout, kwargs, k)
+        if beta.ndim == 3:  # multi-target [G, K, M]
+            return _multi_target_output(problem, beta, layout, target_names)
+        if mode == "coefficients":
+            if layout_in is None:
+                return _coef_struct(beta, names)
+            return _coef_struct(_gather_per_row(layout, beta), names)
+        coef_rows = (
+            jnp.broadcast_to(beta[0], (n, k)) if G == 1 else _gather_per_row(layout, beta)
+        )
+        out = _predictions(problem, coef_rows, out_name)
+        if inv_w is not None:
+            out = Series(out_name, out.values * inv_w, out.validity)
+        return out
 
     raise ValueError(f"unknown least-squares function {function_name!r}")
 

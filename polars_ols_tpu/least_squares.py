@@ -312,8 +312,11 @@ def compute_rolling_least_squares(
         sample_weights=sample_weights,
         add_intercept=add_intercept,
     )
-    if mode in ("predictions", "residuals"):
-        expr = expr.fill_nan(None)  # warm-up NaNs -> nulls (:407-409)
+    if mode == "residuals":
+        # warm-up NaNs -> nulls (:407-409). For predictions the engine
+        # folds the NaN->null conversion into the fused query program (an
+        # expression-level pass would cost a serialized device round-trip).
+        expr = expr.fill_nan(None)
     return expr
 
 

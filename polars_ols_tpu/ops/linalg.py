@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 F64 = jnp.float64
@@ -288,8 +289,118 @@ def _householder_reduce(X: jnp.ndarray, Y: jnp.ndarray):
 
 
 # a reflection pass costs O(K) whole-tensor ops; above this K the op count
-# (and [G,R,K] traffic per reflection) favors the XLA QR custom call
+# (and [G,R,K] traffic per reflection) favors the XLA QR custom call —
+# except for small batch counts, where the custom call's emulated-f64 cost
+# dominates and the unrolled reflections win up to K ~ 128 (see
+# _use_unrolled_householder)
 _HOUSEHOLDER_MAX_K = 32
+
+
+def _use_unrolled_householder(batch: int, k: int) -> bool:
+    return k <= _HOUSEHOLDER_MAX_K or (batch <= 4 and k <= 128)
+
+
+# --------------------------------------------------------------------------- #
+# lane-major Householder QR + one-sided Jacobi SVD (grouped explicit paths)
+# --------------------------------------------------------------------------- #
+# lane kernels unroll K reflections / K(K-1)/2 Jacobi rotation pairs; keep
+# the op count sane
+_LANE_QR_MAX_K = 8
+_JACOBI_SWEEPS = 8
+
+
+def householder_lanes(X: jnp.ndarray, Y: jnp.ndarray):
+    """Lane-major batched Householder reduction: X [R, K, G] (group axis
+    minor-most, filling the VPU lanes), Y [R, M, G] -> (R [K, K, G] upper
+    triangular, QtY [K, M, G]).
+
+    3.5x faster than the row-major reduction at the grouped shape on this
+    backend (33 ms vs 117 ms at [10k groups, 232, 5]); exact to ~1e-14.
+    Zero (masked/padding) rows pass through as genuine zero observations."""
+    Rn, K, G = X.shape
+    rows = jnp.arange(Rn)
+    A, B = X, Y
+    for j in range(K):
+        mask = (rows >= j).astype(A.dtype)[:, None]  # [R, 1]
+        colf = A[:, j, :] * mask  # [R, G]
+        sigma = (colf * colf).sum(axis=0)  # [G]
+        cj = A[j, j, :]
+        s = jnp.where(cj >= 0, 1.0, -1.0)
+        alpha = -s * jnp.sqrt(sigma)
+        v = jnp.where((rows == j)[:, None], colf - alpha[None, :], colf)
+        denom = sigma - cj * alpha  # = ||v||^2 / 2
+        beta = jnp.where(denom > 0, 1.0 / denom, 0.0)  # [G]
+        vtA = (v[:, None, :] * A).sum(axis=0)  # [K, G]
+        A = A - (beta[None, :] * v)[:, None, :] * vtA[None, :, :]
+        vtB = (v[:, None, :] * B).sum(axis=0)  # [M, G]
+        B = B - (beta[None, :] * v)[:, None, :] * vtB[None, :, :]
+    return A[:K], B[:K]
+
+
+def jacobi_svd_lanes(W: jnp.ndarray, n_sweeps: int = _JACOBI_SWEEPS):
+    """One-sided Jacobi SVD of W [K, K, G] in lane-major layout: returns
+    (U [K, K, G], sigma [K, G], V [K, K, G]) with W = U diag(sigma) V^T.
+
+    Every rotation is elementwise over the G lanes — the whole factorization
+    costs ~30 ms at [5, 5, 10k] where the XLA batched SVD custom call costs
+    675 ms; singular values match LAPACK to ~1e-14. Zero columns (rank
+    deficiency) yield sigma = 0 with U columns left untouched."""
+    K, _, G = W.shape
+    V = jnp.eye(K, dtype=W.dtype)[:, :, None] * jnp.ones((1, 1, G), W.dtype)
+    for _ in range(n_sweeps):
+        for p in range(K - 1):
+            for q in range(p + 1, K):
+                wp = W[:, p, :]
+                wq = W[:, q, :]
+                app = (wp * wp).sum(0)
+                aqq = (wq * wq).sum(0)
+                apq = (wp * wq).sum(0)
+                tau = (aqq - app) / (2.0 * jnp.where(apq == 0, 1.0, apq))
+                # sign(0) must be +1 here: tau = 0 (equal-norm correlated
+                # columns) needs the full 45-degree rotation, not a no-op
+                t = jnp.where(tau >= 0, 1.0, -1.0) / (
+                    jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)
+                )
+                t = jnp.where(apq == 0, 0.0, t)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = c * t
+                W = W.at[:, p, :].set(c * wp - s * wq).at[:, q, :].set(s * wp + c * wq)
+                vp = V[:, p, :]
+                vq = V[:, q, :]
+                V = V.at[:, p, :].set(c * vp - s * vq).at[:, q, :].set(s * vp + c * vq)
+    sigma = jnp.sqrt((W * W).sum(0))  # [K, G]
+    U = W / jnp.where(sigma == 0, 1.0, sigma)[None, :, :]
+    return U, sigma, V
+
+
+def svd_lstsq_lanes(
+    Xp: jnp.ndarray,  # [G, R, K] padded rows (masked rows zeroed)
+    yp: jnp.ndarray,  # [G, R] or [G, R, M]
+    alpha: float | jnp.ndarray = 0.0,
+    rcond: float | None = None,
+) -> jnp.ndarray:
+    """Grouped minimum-norm (ridge-shrunk) SVD least squares in lane-major
+    layout: Householder reduction to the K x K factor + one-sided Jacobi
+    SVD, with numpy-lstsq rcond-cutoff semantics identical to `svd_lstsq`
+    (reference solve_ridge_svd, src/least_squares.rs:106-168)."""
+    G, n, k = Xp.shape
+    squeeze = yp.ndim == 2
+    Y = yp[..., None] if squeeze else yp
+    Xl = Xp.transpose(1, 2, 0)  # [R, K, G]
+    Yl = Y.transpose(1, 2, 0)  # [R, M, G]
+    Rf, QtY = householder_lanes(Xl, Yl)  # [K,K,G], [K,M,G]
+    u, s, v = jacobi_svd_lanes(Rf)
+    uty = (u[:, :, None, :] * QtY[:, None, :, :]).sum(axis=0)  # [K, M, G]
+    if rcond is None:
+        rcond = _EPS64 * max(n, k)
+    cut = rcond * s.max(axis=0)  # [G]
+    alpha = jnp.asarray(alpha, dtype=F64)
+    denom = s * s + alpha
+    d = jnp.where(s > cut[None, :], s / jnp.where(denom == 0, 1.0, denom), 0.0)
+    term = d[:, None, :] * uty  # [K(j), M, G]
+    beta = (v[:, :, None, :] * term[None, :, :, :]).sum(axis=1)  # [K(i), M, G]
+    out = beta.transpose(2, 0, 1)  # [G, K, M]
+    return out[..., 0] if squeeze else out
 
 
 # --------------------------------------------------------------------------- #
@@ -319,12 +430,13 @@ def svd_lstsq(
         rcond: cutoff ratio; None -> numpy lstsq default.
     """
     n, k = X.shape[-2], X.shape[-1]
+    batch = int(np.prod(X.shape[:-2])) if X.ndim > 2 else 1
     squeeze = y.ndim == X.ndim - 1
     Y = y[..., None] if squeeze else y
 
     if n > k:
         # QR reduction: svd(X) = (Q U_r) S V^T with R = U_r S V^T
-        if k <= _HOUSEHOLDER_MAX_K:
+        if _use_unrolled_householder(batch, k):
             R, QtY = _householder_reduce(X, Y)
         else:
             Q, R = jnp.linalg.qr(X)
@@ -359,7 +471,8 @@ def qr_lstsq(X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     by reference tests/test_ols.py:324-360.
     """
     n, k = X.shape[-2], X.shape[-1]
-    if k <= _HOUSEHOLDER_MAX_K and n > k:
+    batch = int(np.prod(X.shape[:-2])) if X.ndim > 2 else 1
+    if _use_unrolled_householder(batch, k) and n > k:
         R, qty2 = _householder_reduce(X, y[..., None])
         qty = qty2[..., 0]
     else:
