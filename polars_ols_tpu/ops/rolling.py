@@ -119,19 +119,30 @@ def _windowed_sm_scan(
         reg = scale * 1e-10
 
     def body(carry, row):
-        M, b = carry
+        M, b, poisoned = carry
         xa, ya, xs_, ys_ = row
         Mx = M @ xa
         M = M - jnp.outer(Mx, Mx) / (1.0 + jnp.dot(xa, Mx))
         b = b + xa * ya
         Mx2 = M @ xs_
         den = 1.0 - jnp.dot(xs_, Mx2)
-        M = M + jnp.outer(Mx2, Mx2) / jnp.where(den == 0, 1.0, den)
+        # a singular leaving-row downdate makes the propagated inverse
+        # wrong from here on: skip the downdate and poison the lane so the
+        # affected coefficients surface as NaN instead of silently-wrong
+        # values (the defined/min_periods mask semantics). The lane-major
+        # kernels (ops/moving.py) avoid this entirely via exact f64
+        # moments + refinement.
+        bad = jnp.abs(den) <= 1e-12
+        upd = jnp.outer(Mx2, Mx2) / jnp.where(bad, 1.0, den)
+        M = jnp.where(bad, M, M + upd)
         b = b - xs_ * ys_
-        return (M, b), M @ b
+        poisoned = poisoned | bad
+        coef = jnp.where(poisoned, jnp.nan, M @ b)
+        return (M, b, poisoned), coef
 
     M0 = jnp.eye(K, dtype=F64) / reg
-    (_, _), coefs = lax.scan(body, (M0, jnp.zeros(K, F64)), (Xv, yv, Xs, ys))
+    carry0 = (M0, jnp.zeros(K, F64), jnp.asarray(False))
+    (_, _, _), coefs = lax.scan(body, carry0, (Xv, yv, Xs, ys))
     return coefs
 
 

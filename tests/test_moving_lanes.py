@@ -239,6 +239,38 @@ def test_engine_grouped_rolling_lanes_parity():
     np.testing.assert_allclose(outs[1], outs[0], rtol=1e-6, atol=1e-8, equal_nan=True)
 
 
+def test_engine_nullfree_drop_equals_positional():
+    """With a fully valid frame, 'drop' (valid-rank) windows coincide with
+    positional windows; the engine exploits that to skip the rank gathers.
+    Both policies must give identical results on null-free data."""
+    import polars_ols_tpu as pot
+    from polars_ols_tpu import col
+
+    rng = np.random.default_rng(17)
+    n = 1_500
+    x1, x2 = rng.normal(size=(2, n))
+    y = 2.0 * x1 - x2 + rng.normal(size=n) * 0.1
+    g = rng.integers(30, size=n).astype(float)
+    df = pot.DataFrame({"y": y, "x1": x1, "x2": x2, "g": g})
+    outs = {}
+    from polars_ols_tpu.config import CONFIG
+
+    CONFIG.moving_lanes = True
+    try:
+        for pol in ("drop", "drop_window"):
+            outs[pol] = df.select(
+                col("y").least_squares.rolling_ols(
+                    col("x1"), col("x2"), window_size=25, min_periods=3,
+                    null_policy=pol,
+                ).over("g")
+            )["y"].to_numpy()
+    finally:
+        CONFIG.moving_lanes = False
+    np.testing.assert_allclose(
+        outs["drop"], outs["drop_window"], rtol=1e-10, atol=1e-12, equal_nan=True
+    )
+
+
 @pytest.mark.parametrize("positional", [True, False])
 @pytest.mark.parametrize("G,K", [(1, 5), (1, 40)])
 def test_rolling_refined_sm(G, K, positional):
