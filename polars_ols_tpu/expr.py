@@ -100,6 +100,37 @@ class Expr:
     def forward_fill(self) -> "Expr":
         return UnaryExpr("forward_fill", self)
 
+    # ---- aggregations (full-frame in select; per-group under agg) ---- #
+    def sum(self) -> "Expr":
+        return AggExpr(self, "sum")
+
+    def mean(self) -> "Expr":
+        return AggExpr(self, "mean")
+
+    def min(self) -> "Expr":
+        return AggExpr(self, "min")
+
+    def max(self) -> "Expr":
+        return AggExpr(self, "max")
+
+    def count(self) -> "Expr":
+        return AggExpr(self, "count")
+
+    def n_unique(self) -> "Expr":
+        return AggExpr(self, "n_unique")
+
+    def std(self, ddof: int = 1) -> "Expr":
+        return AggExpr(self, "std", ddof=ddof)
+
+    def var(self, ddof: int = 1) -> "Expr":
+        return AggExpr(self, "var", ddof=ddof)
+
+    def first(self) -> "Expr":
+        return AggExpr(self, "first")
+
+    def last(self) -> "Expr":
+        return AggExpr(self, "last")
+
     def over(self, *keys: ExprOrStr) -> "Expr":
         return OverExpr(self, [k if isinstance(k, str) else k.meta.output_name for k in keys])
 
@@ -131,6 +162,16 @@ class Expr:
     # -- evaluation --------------------------------------------------------- #
     def evaluate(self, df, groups: Optional[np.ndarray] = None):
         raise NotImplementedError
+
+    def evaluate_grouped(self, df, layout, first_idx: np.ndarray):
+        """Evaluate under GroupBy.agg: one output row per group.
+
+        Default: evaluate in the grouped (.over-style) context — where
+        results are group-constant, e.g. least-squares coefficients /
+        statistics — and keep each group's first row. Aggregation nodes
+        override this with segment reductions."""
+        s = self.evaluate(df, layout)
+        return s.gather(first_idx)
 
 
 class _ExprMeta:
@@ -227,6 +268,9 @@ class AliasExpr(Expr):
     def evaluate(self, df, groups=None):
         return self.inner.evaluate(df, groups).alias(self.name)
 
+    def evaluate_grouped(self, df, layout, first_idx):
+        return self.inner.evaluate_grouped(df, layout, first_idx).alias(self.name)
+
 
 class BinExpr(Expr):
     def __init__(self, op: str, left: Expr, right: Expr):
@@ -271,6 +315,83 @@ class UnaryExpr(Expr):
         else:  # pragma: no cover
             raise ValueError(self.op)
         return Series(s.name, out, s.validity)
+
+
+class AggExpr(Expr):
+    """Aggregation node: a full-frame reduction in a select context, a
+    per-group segment reduction under `GroupBy.agg` (the polars engine's
+    aggregation role, SURVEY layer L3)."""
+
+    def __init__(self, inner: Expr, op: str, ddof: int = 1):
+        self.inner = inner
+        self.op = op
+        self.ddof = ddof
+
+    @property
+    def output_name(self) -> Optional[str]:
+        return self.inner.output_name
+
+    def _reduce(self, vals, valid, gids, G):
+        """Segment reductions over [N] device values with validity."""
+        import jax
+
+        w = valid.astype(jnp.float64)
+        seg = lambda v: jax.ops.segment_sum(v, gids, num_segments=G)
+        n = seg(w)
+        if self.op == "count":
+            return n, None
+        if self.op == "sum":
+            return seg(vals * w), None
+        if self.op == "mean":
+            return seg(vals * w) / jnp.maximum(n, 1.0), n > 0
+        if self.op in ("var", "std"):
+            mean = seg(vals * w) / jnp.maximum(n, 1.0)
+            dev = (vals - jnp.take(mean, gids)) * w
+            den = jnp.maximum(n - self.ddof, 1.0)
+            var = seg(dev * dev) / den
+            out = jnp.sqrt(var) if self.op == "std" else var
+            return out, n > self.ddof
+        if self.op == "min":
+            big = jnp.where(valid, vals, jnp.inf)
+            return jax.ops.segment_min(big, gids, num_segments=G), n > 0
+        if self.op == "max":
+            small = jnp.where(valid, vals, -jnp.inf)
+            return jax.ops.segment_max(small, gids, num_segments=G), n > 0
+        raise ValueError(self.op)
+
+    def evaluate(self, df, groups=None):
+        s = self.inner.evaluate(df, None)
+        if self.op in ("first", "last"):
+            idx = 0 if self.op == "first" else len(s) - 1
+            return s.gather(np.asarray([idx]))
+        if self.op == "n_unique":
+            vals = s.to_numpy()
+            return Series(s.name, np.asarray([float(len(np.unique(vals[~np.isnan(vals)])))]))
+        vals = jnp.asarray(s.values, dtype=jnp.float64)
+        out, ok = self._reduce(vals, s.valid_mask(), jnp.zeros(len(s), jnp.int32), 1)
+        validity = None if ok is None else ok
+        return Series(s.name, out, validity)
+
+    def evaluate_grouped(self, df, layout, first_idx):
+        s = self.inner.evaluate(df, None)
+        G = layout.num_groups
+        if self.op in ("first", "last"):
+            order = layout.order
+            starts = np.zeros(G, dtype=np.int64)
+            np.cumsum(layout.counts[:-1], out=starts[1:])
+            idx = order[starts] if self.op == "first" else order[starts + layout.counts - 1]
+            return s.gather(idx)
+        if self.op == "n_unique":
+            vals = s.to_numpy()
+            gids = layout.gids
+            out = np.zeros(G)
+            for g in range(G):
+                v = vals[gids == g]
+                out[g] = float(len(np.unique(v[~np.isnan(v.astype(float))])))
+            return Series(s.name, out)
+        vals = jnp.asarray(s.values, dtype=jnp.float64)
+        out, ok = self._reduce(vals, s.valid_mask(), layout.device_gids(), G)
+        return Series(s.name, out, ok)
 
 
 class FillNullExpr(Expr):

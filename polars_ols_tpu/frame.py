@@ -280,24 +280,45 @@ class DataFrame:
         return DataFrame._from_columns([c.gather(order) for c in self._columns.values()])
 
     def join(self, other: "DataFrame", on: Union[str, List[str]], how: str = "inner") -> "DataFrame":
+        """Vectorized hash/sort-merge join (inner / left): O((n+m) log m)
+        numpy index arithmetic, no per-row Python loops."""
+        assert how in ("inner", "left"), how
         on = [on] if isinstance(on, str) else on
         lk, rk = self._key_array(on), other._key_array(on)
-        r_index: Dict[object, List[int]] = {}
-        for i, v in enumerate(rk.tolist()):
-            r_index.setdefault(v, []).append(i)
-        li, ri = [], []
-        for i, v in enumerate(lk.tolist()):
-            for j in r_index.get(v, []):
-                li.append(i)
-                ri.append(j)
-        li, ri = np.asarray(li, dtype=int), np.asarray(ri, dtype=int)
+        _, inv = np.unique(np.concatenate([lk, rk]), return_inverse=True)
+        lcode, rcode = inv[: len(lk)], inv[len(lk):]
+        r_order = np.argsort(rcode, kind="stable")
+        r_sorted = rcode[r_order]
+        starts = np.searchsorted(r_sorted, lcode, "left")
+        ends = np.searchsorted(r_sorted, lcode, "right")
+        counts = ends - starts
+        if how == "left":
+            matched = counts > 0
+            counts = np.maximum(counts, 1)  # unmatched keep one null row
+        total = int(counts.sum())
+        li = np.repeat(np.arange(len(lk)), counts)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total) - np.repeat(offsets, counts)
+        ri_pos = np.repeat(starts, counts) + within
+        if how == "left":
+            valid_r = np.repeat(matched, counts)
+            ri = r_order[np.where(valid_r, np.minimum(ri_pos, len(r_sorted) - 1), 0)]
+        else:
+            valid_r = None
+            ri = r_order[ri_pos]
         cols = [c.gather(li) for c in self._columns.values()]
         for k, c in other._columns.items():
             if k in self._columns:
                 if k in on:
                     continue
                 c = c.alias(k + "_right")
-            cols.append(c.gather(ri))
+            rcol = c.gather(ri)
+            if valid_r is not None and isinstance(rcol, Series):
+                rcol = Series(
+                    rcol.name, rcol.values,
+                    rcol.valid_mask() & jnp.asarray(valid_r),
+                )
+            cols.append(rcol)
         return DataFrame._from_columns(cols)
 
     # ---------------------------------------------------------------- #
@@ -359,29 +380,52 @@ class GroupBy:
         self._df = df
         self._keys = keys
 
-    def _group_indices(self):
-        ks = self._df._key_array(self._keys)
-        uniq, inv = np.unique(ks, return_inverse=True)
-        return uniq, inv
+    def _layout(self):
+        from .engine.groups import layout_for_columns
+
+        return layout_for_columns([self._df.get_column(k) for k in self._keys])
+
+    def _boundary_indices(self):
+        """Vectorized per-group (first_idx, last_idx) row positions."""
+        layout = self._layout()
+        starts = np.zeros(layout.num_groups, dtype=np.int64)
+        np.cumsum(layout.counts[:-1], out=starts[1:])
+        first_idx = layout.order[starts]
+        last_idx = layout.order[starts + layout.counts - 1]
+        return layout, first_idx, last_idx
 
     def last(self) -> DataFrame:
-        uniq, inv = self._group_indices()
-        last_idx = np.zeros(len(uniq), dtype=int)
-        for i, g in enumerate(inv):
-            last_idx[g] = i
+        _, _, last_idx = self._boundary_indices()
         return DataFrame._from_columns(
             [c.gather(last_idx) for c in self._df._columns.values()]
         )
 
     def first(self) -> DataFrame:
-        uniq, inv = self._group_indices()
-        n = len(uniq)
-        first_idx = np.full(n, -1, dtype=int)
-        for i in range(len(inv) - 1, -1, -1):
-            first_idx[inv[i]] = i
+        _, first_idx, _ = self._boundary_indices()
         return DataFrame._from_columns(
             [c.gather(first_idx) for c in self._df._columns.values()]
         )
+
+    def agg(self, *exprs, **named) -> DataFrame:
+        """One output row per group: aggregation expressions reduce with
+        segment ops; other expressions (e.g. least-squares coefficients /
+        statistics, which are group-constant under the grouped engine)
+        evaluate in the .over context and keep each group's first row —
+        the role polars' aggregation engine plays for the reference
+        (SURVEY layer L3)."""
+        layout, first_idx, _ = self._boundary_indices()
+        out: List[AnySeries] = [
+            self._df.get_column(k).gather(first_idx) for k in self._keys
+        ]
+        all_exprs: List[Expr] = []
+        for e in exprs:
+            e = parse_into_expr(e)
+            all_exprs.extend(e.expand(self._df))
+        for name, e in named.items():
+            all_exprs.append(parse_into_expr(e).alias(name))
+        for e in all_exprs:
+            out.append(e.evaluate_grouped(self._df, layout, first_idx))
+        return DataFrame._from_columns(out)
 
 
 class LazyFrame:

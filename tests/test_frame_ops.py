@@ -1,0 +1,113 @@
+"""Frame-substrate operations: vectorized join (inner/left), GroupBy.agg
+with segment-reduced aggregations and group-constant expressions (the
+polars-engine role the reference leans on — SURVEY layer L3)."""
+
+import numpy as np
+import pytest
+
+import polars_ols_tpu as pot
+from polars_ols_tpu import col
+
+
+def test_join_inner_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    lk = rng.integers(8, size=200).astype(float)
+    rk = rng.integers(8, size=50).astype(float)
+    left = pot.DataFrame({"k": lk, "a": rng.normal(size=200)})
+    right = pot.DataFrame({"k": rk, "b": rng.normal(size=50)})
+    out = left.join(right, on="k", how="inner")
+    # brute-force pair enumeration
+    pairs = [
+        (i, j) for i in range(200) for j in range(50) if lk[i] == rk[j]
+    ]
+    assert out.height == len(pairs)
+    a = out["a"].to_numpy()
+    b = out["b"].to_numpy()
+    exp_a = left["a"].to_numpy()[[i for i, _ in pairs]]
+    exp_b = right["b"].to_numpy()[[j for _, j in pairs]]
+    # join emits left-row-major order like the brute force
+    np.testing.assert_allclose(a, exp_a)
+    np.testing.assert_allclose(b, exp_b)
+
+
+def test_join_left_nulls_unmatched():
+    left = pot.DataFrame({"k": [1.0, 2.0, 3.0], "a": [10.0, 20.0, 30.0]})
+    right = pot.DataFrame({"k": [1.0, 3.0], "b": [-1.0, -3.0]})
+    out = left.join(right, on="k", how="left")
+    assert out.height == 3
+    assert out["b"].to_list() == [-1.0, None, -3.0]
+    np.testing.assert_allclose(out["a"].to_numpy(), [10.0, 20.0, 30.0])
+
+
+def test_group_by_agg_reductions():
+    rng = np.random.default_rng(1)
+    n = 1_000
+    g = rng.integers(6, size=n).astype(float)
+    x = rng.normal(size=n)
+    df = pot.DataFrame({"g": g, "x": x})
+    out = df.group_by("g").agg(
+        col("x").mean().alias("mean"),
+        col("x").sum().alias("sum"),
+        col("x").min().alias("min"),
+        col("x").max().alias("max"),
+        col("x").count().alias("count"),
+        col("x").std().alias("std"),
+        col("x").first().alias("first"),
+        col("x").last().alias("last"),
+    )
+    keys = out["g"].to_numpy()
+    for i, gid in enumerate(keys):
+        m = g == gid
+        np.testing.assert_allclose(out["mean"].to_numpy()[i], x[m].mean(), rtol=1e-12)
+        np.testing.assert_allclose(out["sum"].to_numpy()[i], x[m].sum(), rtol=1e-12)
+        np.testing.assert_allclose(out["min"].to_numpy()[i], x[m].min())
+        np.testing.assert_allclose(out["max"].to_numpy()[i], x[m].max())
+        assert out["count"].to_numpy()[i] == m.sum()
+        np.testing.assert_allclose(
+            out["std"].to_numpy()[i], x[m].std(ddof=1), rtol=1e-12
+        )
+        idx = np.flatnonzero(m)
+        assert out["first"].to_numpy()[i] == x[idx[0]]
+        assert out["last"].to_numpy()[i] == x[idx[-1]]
+
+
+def test_group_by_agg_with_nulls():
+    df = pot.DataFrame(
+        {
+            "g": [0.0, 0.0, 1.0, 1.0],
+            "x": pot.Series("x", np.array([1.0, 0.0, 3.0, 4.0]),
+                            np.array([True, False, True, True])),
+        }
+    )
+    out = df.group_by("g").agg(col("x").mean().alias("m"), col("x").count().alias("c"))
+    np.testing.assert_allclose(out["m"].to_numpy(), [1.0, 3.5])
+    np.testing.assert_allclose(out["c"].to_numpy(), [1.0, 2.0])
+
+
+def test_group_by_agg_least_squares_coefficients():
+    """The polars_ols usage pattern df.group_by(k).agg(ols(...)): one
+    coefficient struct row per group, identical to .over() + unique."""
+    rng = np.random.default_rng(2)
+    n = 3_000
+    g = rng.integers(12, size=n).astype(float)
+    x1, x2 = rng.normal(size=(2, n))
+    y = 2.0 * x1 - x2 + rng.normal(size=n) * 0.1
+    df = pot.DataFrame({"g": g, "y": y, "x1": x1, "x2": x2})
+    out = df.group_by("g").agg(
+        col("y").least_squares.ols(col("x1"), col("x2"), mode="coefficients")
+    )
+    assert out.height == 12
+    betas = np.asarray(out["coefficients"].values)
+    x = np.stack([x1, x2], axis=1)
+    keys = out["g"].to_numpy()
+    for i, gid in enumerate(keys):
+        m = g == gid
+        exp = np.linalg.lstsq(x[m], y[m], rcond=None)[0]
+        np.testing.assert_allclose(betas[i], exp, rtol=1e-8, atol=1e-10)
+
+
+def test_select_scalar_aggregations():
+    df = pot.DataFrame({"x": [1.0, 2.0, 3.0, 4.0]})
+    out = df.select(col("x").mean().alias("m"), col("x").sum().alias("s"))
+    assert out["m"].item() == pytest.approx(2.5)
+    assert out["s"].item() == pytest.approx(10.0)
