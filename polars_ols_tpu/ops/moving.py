@@ -480,24 +480,36 @@ def _rolling_refined_sm(Xv, yv, Xs, ys, reg, chunk: int):
     sub = _pow2(min(C, max(8, _CHUNK_BYTES // max(1, K * K * G * 8))))
     n_sub = C // sub
 
-    def sub_body(carry, idx):
-        W_c, b_c = carry
-        Xa0 = lax.dynamic_slice_in_dim(Xv, idx * sub, sub)
-        ya0 = lax.dynamic_slice_in_dim(yv, idx * sub, sub)
-        Xl0 = lax.dynamic_slice_in_dim(Xs, idx * sub, sub)
-        yl0 = lax.dynamic_slice_in_dim(ys, idx * sub, sub)
-        dU = (
-            Xa0[:, :, None, :] * Xa0[:, None, :, :]
-            - Xl0[:, :, None, :] * Xl0[:, None, :, :]
-        )
-        du = Xa0 * ya0[:, None, :] - Xl0 * yl0[:, None, :]
-        W_t = W_c[None] + jnp.cumsum(dU, axis=0)
-        b_t = b_c[None] + jnp.cumsum(du, axis=0)
-        A_t = W_t + reg[None, None, None, :] * eye[:, :, None]
-        coef = _lane_chol_solve_vec(A_t, b_t)
-        return (W_t[-1], b_t[-1]), coef
+    # This path runs when G is small (the gate caps it at a few groups), so
+    # the lane-major [.., G] layout would leave the VPU 99% idle for EVERY
+    # op here. Work in [G, C, K, K] instead — K (large on this path) is the
+    # minor axis — and solve with the row-major vectorized Cholesky.
+    from .linalg import _chol_solve_vectorized
 
-    carry0 = (jnp.zeros((K, K, G), F64), jnp.zeros((K, G), F64))
+    Xv_g = Xv.transpose(2, 0, 1)  # [G, R, K]
+    yv_g = yv.transpose(1, 0)  # [G, R]
+    Xs_g = Xs.transpose(2, 0, 1)
+    ys_g = ys.transpose(1, 0)
+
+    def sub_body(carry, idx):
+        W_c, b_c = carry  # [G, K, K], [G, K]
+        Xa0 = lax.dynamic_slice_in_dim(Xv_g, idx * sub, sub, axis=1)  # [G,C,K]
+        ya0 = lax.dynamic_slice_in_dim(yv_g, idx * sub, sub, axis=1)  # [G,C]
+        Xl0 = lax.dynamic_slice_in_dim(Xs_g, idx * sub, sub, axis=1)
+        yl0 = lax.dynamic_slice_in_dim(ys_g, idx * sub, sub, axis=1)
+        dU = (
+            Xa0[:, :, :, None] * Xa0[:, :, None, :]
+            - Xl0[:, :, :, None] * Xl0[:, :, None, :]
+        )  # [G, C, K, K]
+        du = Xa0 * ya0[:, :, None] - Xl0 * yl0[:, :, None]  # [G, C, K]
+        W_t = W_c[:, None] + jnp.cumsum(dU, axis=1)
+        b_t = b_c[:, None] + jnp.cumsum(du, axis=1)
+        A_t = W_t + reg[:, None, None, None] * eye
+        sol, _ = _chol_solve_vectorized(A_t, b_t[..., None])  # [G, C, K, 1]
+        coef = sol[..., 0].transpose(1, 2, 0)  # [C, K, G]
+        return (W_t[:, -1], b_t[:, -1]), coef
+
+    carry0 = (jnp.zeros((G, K, K), F64), jnp.zeros((G, K), F64))
     _, head = lax.scan(sub_body, carry0, jnp.arange(n_sub))
     head = head.reshape(C, K, G)
     return jnp.concatenate([head, coefs[C:]], axis=0)
@@ -576,7 +588,12 @@ def solve_rolling_lanes(
     if min_periods is None:
         min_periods = min(K, window)
 
-    chunk = _chol_chunk(K, G) if _use_lane_chol(K, G) else _sm_chunk(R)
+    # rolling refined-SM pays an exact direct pass over chunk 0 whose cost
+    # is linear in the chunk length (op-count-bound column-pass Cholesky);
+    # 256-row chunks halve it while the lane scan stays parallel
+    chunk = (
+        _chol_chunk(K, G) if _use_lane_chol(K, G) else min(_sm_chunk(R), 256)
+    )
     pad = (-R) % chunk
     if pad:
         Xp = jnp.pad(Xp, ((0, 0), (0, pad), (0, 0)))
