@@ -429,26 +429,48 @@ class GroupBy:
 
 
 class LazyFrame:
-    """Thin lazy shim for API familiarity: operations are applied eagerly but
-    the chained `.lazy()....collect()` style of the reference tests works."""
+    """Deferred query plan over a DataFrame.
 
-    def __init__(self, df: DataFrame):
+    Chained operations record (method, args) plan nodes; nothing executes —
+    no expression evaluation, no device work — until `.collect()` replays
+    the plan (the role of the polars lazy planner the reference relies on,
+    SURVEY layer L3). The engine's per-query fusion happens inside each
+    expression evaluation, so collect-time replay preserves the fused
+    device programs while keeping plan construction free."""
+
+    def __init__(self, df: DataFrame, plan: Optional[List] = None):
         self._df = df
+        self._plan = plan or []
 
     def collect(self) -> DataFrame:
-        return self._df
+        out = self._df
+        for name, args, kwargs in self._plan:
+            out = getattr(out, name)(*args, **kwargs)
+        return out
+
+    def explain(self) -> str:
+        """Render the deferred plan (top = first executed)."""
+        lines = [f"DF [{', '.join(self._df.columns)}]"]
+        lines += [f"  .{name}(...)" for name, _, _ in self._plan]
+        return "\n".join(lines)
+
+    # frame -> frame transformations defer; anything else (to_numpy, item,
+    # metadata) forces a collect so values come back eagerly
+    _DEFERRABLE = frozenset(
+        {
+            "select", "with_columns", "with_row_index", "filter", "fill_null",
+            "fill_nan", "drop_nulls", "drop", "rename", "unnest", "explode",
+            "sort", "join", "unique",
+        }
+    )
 
     def __getattr__(self, name):
-        attr = getattr(self._df, name)
-        if callable(attr):
-            def wrapper(*args, **kwargs):
-                out = attr(*args, **kwargs)
-                if isinstance(out, DataFrame):
-                    return LazyFrame(out)
-                return out
+        if name in LazyFrame._DEFERRABLE:
+            def defer(*args, **kwargs):
+                return LazyFrame(self._df, self._plan + [(name, args, kwargs)])
 
-            return wrapper
-        return attr
+            return defer
+        return getattr(self.collect(), name)
 
 
 def concat(frames: List[DataFrame], how: str = "vertical", rechunk: bool = True) -> DataFrame:

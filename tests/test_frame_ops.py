@@ -106,6 +106,40 @@ def test_group_by_agg_least_squares_coefficients():
         np.testing.assert_allclose(betas[i], exp, rtol=1e-8, atol=1e-10)
 
 
+def test_lazyframe_defers_execution():
+    """LazyFrame records a plan and executes nothing until collect()."""
+    import polars_ols_tpu.engine.fit as fit_mod
+
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pot.DataFrame(
+        {
+            "y": rng.normal(size=n),
+            "x1": rng.normal(size=n),
+            "g": rng.integers(5, size=n).astype(float),
+        }
+    )
+    calls = {"n": 0}
+    orig = fit_mod.evaluate_least_squares
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    fit_mod.evaluate_least_squares = counting
+    try:
+        lf = df.lazy().with_columns(
+            col("y").least_squares.ols(col("x1")).over("g").alias("p")
+        )
+        assert calls["n"] == 0, "plan construction must not evaluate"
+        assert "with_columns" in lf.explain()
+        out = lf.collect()
+        assert calls["n"] == 1
+        assert "p" in out.columns
+    finally:
+        fit_mod.evaluate_least_squares = orig
+
+
 def test_select_scalar_aggregations():
     df = pot.DataFrame({"x": [1.0, 2.0, 3.0, 4.0]})
     out = df.select(col("x").mean().alias("m"), col("x").sum().alias("s"))
