@@ -10,12 +10,13 @@ faster, and an f32 body a further ~1.3x.
 
 Two formulations:
 
-* **lane-chol** (K <= LANE_CHOL_MAX_K, G >= LANE_MIN_GROUPS, exact f64):
-  windowed/discounted moments are prefix sums computed chunk-at-a-time in
-  ``[C, K, K, G]`` layout (group axis minor-most); every row's K x K
-  normal-equation system is solved by a fully unrolled Cholesky whose every
-  op is elementwise over ``[C, G]`` lanes. No inverse propagation, no
-  downdate instability: each row is solved fresh from exact f64 moments.
+* **lane-chol** (K <= LANE_CHOL_MAX_K, exact f64): windowed/discounted
+  moments are prefix sums computed chunk-at-a-time in ``[C, K, K, G]``
+  layout (group axis minor-most); every row's K x K normal-equation system
+  is solved by a fully unrolled Cholesky whose every op is elementwise over
+  ``[C, G]`` lanes. No inverse propagation, no downdate instability: each
+  row is solved fresh from exact f64 moments. (A trailing G=1 axis is free
+  — XLA canonicalizes size-1 dims — so this also serves single groups.)
 
 * **refined-SM** (any K; used when groups are too few to fill the lanes or
   K is too large to unroll): rows are split into chunks of C; chunk-start
@@ -141,38 +142,6 @@ def _lane_chol_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             s = s - L[m][i] * x[m]
         x[i] = s * inv_d[i]
     return jnp.stack(x, axis=-2)  # [..., K, G]
-
-
-def _lane_chol_solve_vec(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Column-pass variant of `_lane_chol_solve` for arbitrary K: O(K)
-    whole-tensor passes instead of O(K^3) unrolled scalar ops. Same
-    lane-major [..., K, K, G] layout."""
-    K = A.shape[-3]
-    kidx = jnp.arange(K)
-    S = A
-    cols = []
-    for j in range(K):
-        inv_d = 1.0 / jnp.sqrt(S[..., j, j, :])
-        col = S[..., :, j, :] * inv_d[..., None, :]  # [..., K, G]
-        col = col * (kidx >= j)[:, None]
-        cols.append(col)
-        S = S - col[..., :, None, :] * col[..., None, :, :]
-    Lmat = jnp.stack(cols, axis=-2)  # [..., row, col, G]
-    # forward: L z = b
-    acc = b
-    zs = []
-    for j in range(K):
-        zj = acc[..., j, :] / cols[j][..., j, :]
-        zs.append(zj)
-        acc = acc - cols[j] * zj[..., None, :]
-    # backward: L^T x = z
-    acc = jnp.stack(zs, axis=-2)
-    xs = [None] * K
-    for j in range(K - 1, -1, -1):
-        xj = acc[..., j, :] / cols[j][..., j, :]
-        xs[j] = xj
-        acc = acc - Lmat[..., j, :, :] * xj[..., None, :]
-    return jnp.stack(xs, axis=-2)  # [..., K, G]
 
 
 # --------------------------------------------------------------------------- #
