@@ -56,12 +56,23 @@ def feature_metrics(
     cancels catastrophically for good fits (can report mse=0 or negative)."""
     G, k, _ = XtX.shape
     A = XtX + alpha * jnp.eye(k, dtype=F64)
-    L = jnp.linalg.cholesky(A)
-    ok = jnp.isfinite(L).all(axis=(-2, -1))
-    L_safe = jnp.where(ok[:, None, None], L, jnp.eye(k, dtype=F64))
-    A_inv = jax.scipy.linalg.cho_solve(
-        (L_safe, True), jnp.broadcast_to(jnp.eye(k, dtype=F64), A.shape)
-    )
+    if k <= 32:
+        # the vectorized elementwise Cholesky inverse: the batched
+        # cholesky/cho_solve custom calls cost 100-200 ms at [10k, 5, 5]
+        # on this backend (and custom calls don't partition under SPMD)
+        from .linalg import _chol_solve_vectorized
+
+        A_inv, ok = _chol_solve_vectorized(
+            A, jnp.broadcast_to(jnp.eye(k, dtype=F64), A.shape)
+        )
+        A_inv = jnp.where(ok[:, None, None], A_inv, jnp.eye(k, dtype=F64))
+    else:
+        L = jnp.linalg.cholesky(A)
+        ok = jnp.isfinite(L).all(axis=(-2, -1))
+        L_safe = jnp.where(ok[:, None, None], L, jnp.eye(k, dtype=F64))
+        A_inv = jax.scipy.linalg.cho_solve(
+            (L_safe, True), jnp.broadcast_to(jnp.eye(k, dtype=F64), A.shape)
+        )
     beta = jnp.einsum("gkl,gl->gk", A_inv, Xty, preferred_element_type=F64)
     if alpha > 0.0:
         df = n - jnp.trace(A_inv, axis1=-2, axis2=-1)
