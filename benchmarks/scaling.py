@@ -33,6 +33,38 @@ from polars_ols_tpu.parallel import (  # noqa: E402
 from polars_ols_tpu.ops.moving import solve_rolling_lanes  # noqa: E402
 
 
+import re
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "s64": 8, "s32": 4, "u32": 4, "bf16": 2,
+                "f16": 2, "s8": 1, "u8": 1, "pred": 1}
+_SHAPE_RE = re.compile(r"\b(f64|f32|s64|s32|u32|bf16|f16|s8|u8|pred)\[([0-9,]*)\]")
+_COLL_RE = re.compile(
+    r"\b(all-reduce|reduce-scatter|all-gather|collective-permute|all-to-all)\("
+)
+
+
+def collective_bytes(hlo_text: str) -> int:
+    """Sum the result bytes of every collective op in a compiled HLO module —
+    a *measured* communication volume per executed program (the >=80%
+    scaling-efficiency expectation rests on compute >> communication; this
+    puts a number behind it instead of prose arithmetic)."""
+    total = 0
+    for line in hlo_text.splitlines():
+        if not _COLL_RE.search(line):
+            continue
+        head = line.split("=", 1)[0] if "=" in line else ""
+        op_pos = _COLL_RE.search(line).start()
+        # result shapes appear between '=' and the op name
+        seg = line[len(head): op_pos]
+        for m in _SHAPE_RE.finditer(seg):
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            n = 1
+            for d in dims:
+                n *= d
+            total += n * _DTYPE_BYTES[m.group(1)]
+    return total
+
+
 def _sync(x):
     return np.asarray(jnp.ravel(x)[:1].astype(jnp.float32))
 
@@ -60,15 +92,26 @@ def main():
     gids = jnp.asarray(rng.integers(G, size=N), dtype=jnp.int32)
 
     print(f"# static grouped OLS: {N:,} rows x {K} feats x {G:,} groups")
-    print(f"{'devices':>8} {'ms':>10} {'rows/s':>14} {'efficiency':>11}")
+    print(f"{'devices':>8} {'ms':>10} {'rows/s':>14} {'efficiency':>11} {'comm':>10}")
     base = None
     for s in sizes:
         mesh = make_mesh(s)
         dt = _time(lambda: fit_moments_sharded(mesh, X, y, w, gids, G)[1])
+        # measured communication: collective result bytes in the compiled HLO
+        lowered = jax.jit(
+            lambda X_, y_, w_, g_: fit_moments_sharded(mesh, X_, y_, w_, g_, G)[1]
+        ).lower(X, y, w, gids)
+        comm = collective_bytes(lowered.compile().as_text())
         rps = N / dt
         base = base or rps
         eff = rps / (base * s)
-        print(f"{s:>8} {dt*1e3:>9.1f} {rps:>14,.0f} {eff:>10.1%}")
+        print(
+            f"{s:>8} {dt*1e3:>9.1f} {rps:>14,.0f} {eff:>10.1%} "
+            f"{comm / 1e6:>8.2f}MB"
+        )
+    row_mb = N * (K + 1) * 8 / 1e6
+    print(f"(row data read per query: ~{row_mb:.0f} MB; collective bytes above "
+          f"are the total cross-device traffic per executed program)")
 
     # --- group-sharded moving model: rolling OLS over the group batch ---
     Gm, R, Km = 1_024, 128, 4

@@ -48,7 +48,11 @@ def _make_df(n: int, k: int, n_groups=None, seed=0):
     return pls.DataFrame(data)
 
 
-def _time(fn, reps=5):
+def _time(fn, reps=7):
+    """min-of-7 with IQR: the tunnel's run-to-run variance on ~50 ms queries
+    reaches +-50%, so the minimum is the low-noise estimator of the device
+    program's cost and the IQR quantifies the noise (VERDICT r2 task 8).
+    Returns (min_s, median_s, iqr_s)."""
     fn()  # compile + warm caches
     times = []
     for _ in range(reps):
@@ -56,7 +60,9 @@ def _time(fn, reps=5):
         out = fn()
         np.asarray(out.values[-2:])  # sync without a full-output fetch
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    arr = np.sort(np.asarray(times))
+    q1, q3 = np.percentile(arr, [25, 75])
+    return float(arr[0]), float(np.median(arr)), float(q3 - q1)
 
 
 def _queries(df, k: int, grouped: bool):
@@ -91,18 +97,19 @@ def run_config(name: str, n: int, k: int, n_groups=None):
     ref = REFERENCE_MS.get(name, {})
     print(f"\n## config '{name}': n={n:,} k={k}"
           + (f" groups={n_groups:,}" if grouped else ""))
-    print(f"{'model':<14} {'this engine':>12} {'reference':>12} {'speedup':>9}")
+    print(f"{'model':<14} {'min':>10} {'median':>10} {'IQR':>8} "
+          f"{'reference':>10} {'speedup':>9}")
     for model, fn in _queries(df, k, grouped).items():
         try:
             pls.clear_caches()  # release device caches between families
-            ms = _time(fn) * 1e3
+            mn, med, iqr = (v * 1e3 for v in _time(fn))
         except Exception as e:  # pragma: no cover
             print(f"{model:<14} FAILED: {str(e)[:60]}")
             continue
         r = ref.get(model)
-        rtxt = f"{r:12.3f}" if r else " " * 12
-        stxt = f"{r / ms:8.1f}x" if r else ""
-        print(f"{model:<14} {ms:10.3f}ms {rtxt} {stxt}")
+        rtxt = f"{r:8.3f}ms" if r else " " * 10
+        stxt = f"{r / mn:8.1f}x" if r else ""
+        print(f"{model:<14} {mn:8.3f}ms {med:8.3f}ms {iqr:6.1f}ms {rtxt} {stxt}")
 
 
 def main():

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..series import ObjectSeries, Series, StatisticsSeries, StructSeries
+from ..series import Series, StatisticsSeries, StructSeries
 from ..ops import masking
 from ..ops.cd import solve_elastic_net_cov
 from ..ops.direct import (
@@ -70,7 +70,13 @@ def _unpad_rows(layout, padded: jnp.ndarray) -> jnp.ndarray:
 
 
 def _split_layout(layout):
-    r_cap = min(CONFIG.moment_chunk_rows, max(8, int(layout.counts.max())))
+    from .groups import bucket_size
+
+    # bucketed block width: one compiled program serves every max-group-size
+    # in the bucket (shape bucketing, <=12.5% pad waste)
+    r_cap = min(
+        CONFIG.moment_chunk_rows, bucket_size(max(8, int(layout.counts.max())))
+    )
     return layout.device_split(r_cap)
 
 
@@ -309,8 +315,15 @@ def _csne_refine_blocks(A, beta, Xp, yp, wf, block_group, num_groups, alpha):
     return beta
 
 
+# cond(XtX) beyond which the explicit-svd moment fast path reroutes to the
+# true row-space SVD (minimum-norm / rcond-cutoff semantics): conservative —
+# the CSNE-refined moment solve is lstsq-grade well past this, and genuine
+# rank-deficiency sits many orders beyond it
+_SVD_GUARD_COND = 1.0e10
+
+
 def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None,
-                    force_refine: bool = False):
+                    force_refine: bool = False, svd_guard: bool = False):
     """Normal-equation Cholesky solve (with conditioning-gated CSNE
     refinement when row blocks are supplied), or covariance-form coordinate
     descent when cd hyper-parameters are supplied (lasso/enet/NNLS).
@@ -319,13 +332,40 @@ def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None,
     engine's CholeskyQR2-equivalent path for explicit solve_method='qr'
     (chol factor of the moments as R, row-space residual refinement —
     QR-grade forward error for cond(X) up to ~1e7 at a fraction of a
-    factorization's cost)."""
+    factorization's cost).
+
+    ``svd_guard`` (single-group explicit 'svd' on tall well-shaped data):
+    same refined moment solve — identical to the SVD solution whenever no
+    singular value falls below the rcond cutoff — with an in-program
+    conditioning gate that reroutes to the true row-space minimum-norm SVD
+    (reference solve_ridge_svd, src/least_squares.rs:106-168) when the
+    Cholesky fails or cond(XtX) is large. Replaces an 800-op Householder
+    reduction + SVD custom call (~190 ms at 10k x 100 on this backend) with
+    one MXU moment pass for the overwhelmingly common full-rank case."""
     if cd_params is None:
         K = XtX.shape[-1]
         A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
         if refine is None:
             return solve_psd(A, Xty)
         Xp, yp, wf, block_group, num_groups = refine
+        if svd_guard and num_groups == 1:
+            from ..ops.linalg import solve_psd_cond_ok, svd_lstsq
+
+            beta, cond_est, ok = solve_psd_cond_ok(A, Xty)
+
+            def fast(b):
+                return _csne_refine_blocks(
+                    A, b, Xp, yp, wf, block_group, num_groups, alpha
+                )
+
+            def accurate(_):
+                Xrows = (Xp * wf[..., None]).reshape(1, -1, K)
+                yrows = (yp * wf).reshape(1, -1)
+                nv = wf.sum()[None]
+                return svd_lstsq(Xrows, yrows, alpha=alpha, rcond=None, n_valid=nv)
+
+            good = ok.all() & (jnp.max(cond_est) < _SVD_GUARD_COND)
+            return lax.cond(good, fast, accurate, beta)
         if force_refine:
             beta = solve_psd(A, Xty)
             return _csne_refine_blocks(
@@ -347,7 +387,7 @@ def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None,
     )
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine", "svd_guard"))
 def _blocks_fit_kernel(
     Zp,  # [S, R, 1+K] target in slot 0
     wp,  # [S, R]
@@ -359,6 +399,7 @@ def _blocks_fit_kernel(
     want: str,  # "beta" | "rows" | "preds"
     cd_params=None,  # static (l1_ratio, max_iter, tol, positive) for CD
     force_refine: bool = False,  # static: explicit 'qr' (CholeskyQR2 path)
+    svd_guard: bool = False,  # static: explicit 'svd' single-group fast path
 ):
     """Steady-state grouped fit on the materialized partition: MXU moment
     matmuls + vectorized Cholesky (or covariance-form CD); predictions are
@@ -369,7 +410,9 @@ def _blocks_fit_kernel(
     yp, Xp = Zp[..., 0], Zp[..., 1:]
     XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
     refine = (Xp, yp, wp.astype(F64), block_group, num_groups)
-    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params, refine, force_refine)
+    beta = _solve_dispatch(
+        XtX, Xty, counts, alpha, cd_params, refine, force_refine, svd_guard
+    )
     if want == "beta":
         return beta
     if want == "rows":
@@ -381,7 +424,7 @@ def _blocks_fit_kernel(
     return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine", "svd_guard"))
 def _blocks_fit_kernel_ozaki(
     Zp,  # [S, R, 1+K] target in slot 0 (used for block predictions)
     digits,  # [D, S, R, 1+K] int8 digit planes (padding rows zeroed)
@@ -395,6 +438,7 @@ def _blocks_fit_kernel_ozaki(
     want: str,
     cd_params=None,
     force_refine: bool = False,
+    svd_guard: bool = False,
 ):
     """Digit-matmul variant of `_blocks_fit_kernel`: the full moment matrix
     Z^T diag(w) Z comes from exact int8 MXU matmuls (ops/ozaki.py) instead
@@ -410,7 +454,9 @@ def _blocks_fit_kernel_ozaki(
     XtX = M[:, 1:, 1:]
     Xty = M[:, 1:, 0]
     refine = (Zp[..., 1:], Zp[..., 0], wp.astype(F64), block_group, num_groups)
-    beta = _solve_dispatch(XtX, Xty, counts, alpha, cd_params, refine, force_refine)
+    beta = _solve_dispatch(
+        XtX, Xty, counts, alpha, cd_params, refine, force_refine, svd_guard
+    )
     if want == "beta":
         return beta
     if want == "rows":
@@ -422,8 +468,10 @@ def _blocks_fit_kernel_ozaki(
     return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha"))
-def _blocks_statistics_kernel(Zp, wp, block_group, num_groups: int, alpha: float):
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "cd_params"))
+def _blocks_statistics_kernel(
+    Zp, wp, block_group, num_groups: int, alpha: float, cd_params=None
+):
     """All model-quality statistics from the materialized partition in ONE
     device program (the reference runs this once per group on the host;
     src/expressions.rs:468-509, src/statistics.rs).
@@ -431,7 +479,11 @@ def _blocks_statistics_kernel(Zp, wp, block_group, num_groups: int, alpha: float
     rss / sst / mae all come from *per-row* residuals (the moment identities
     yty - 2b'Xty + b'XtXb and yty - (sum y)^2/n cancel catastrophically for
     good fits / large target means); se/t/p come from the ridge-aware
-    normal-equation metrics (NaN lanes on non-PD systems)."""
+    normal-equation metrics (NaN lanes on non-PD systems). With ``cd_params``
+    the reported coefficients (and their residual metrics) come from the
+    coordinate-descent solve — the reference's dispatch-solver estimate
+    (src/expressions.rs:475) — while se/t/p keep the normal-equation
+    recompute of src/statistics.rs:116."""
     K = Zp.shape[-1] - 1
     yp, Xp = Zp[..., 0], Zp[..., 1:]
     XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
@@ -442,13 +494,30 @@ def _blocks_statistics_kernel(Zp, wp, block_group, num_groups: int, alpha: float
     mean_b = jnp.take(sumy / n_safe, block_group, axis=0)  # [S]
     sst = seg((((yp - mean_b[:, None]) * wf) ** 2).sum(axis=1))
 
-    A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-    beta = solve_psd(A, Xty)  # dispatch solver's estimate (with fallback)
+    if cd_params is not None:
+        l1_ratio, max_iter, tol, positive = cd_params
+        beta = solve_elastic_net_cov(
+            XtX, Xty, counts, alpha=alpha, l1_ratio=l1_ratio,
+            max_iter=max_iter, tol=tol, positive=positive,
+        )
+    else:
+        A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+        beta = solve_psd(A, Xty)  # dispatch solver's estimate (with fallback)
     bb = jnp.take(beta, block_group, axis=0)  # [S, K]
     resid = (yp - _block_preds(Xp, bb)) * wf
     sae = seg(jnp.abs(resid).sum(axis=1))
     rss = seg((resid * resid).sum(axis=1))
-    fm = feature_metrics(XtX, Xty, rss, counts, alpha)
+    if cd_params is not None:
+        # se/t/p always derive from the normal-equation RSS (reference
+        # statistics.rs recomputes beta from the normal equations)
+        beta_ne = solve_psd(
+            XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64), Xty
+        )
+        resid_ne = (yp - _block_preds(Xp, jnp.take(beta_ne, block_group, axis=0))) * wf
+        rss_ne = seg((resid_ne * resid_ne).sum(axis=1))
+    else:
+        rss_ne = rss
+    fm = feature_metrics(XtX, Xty, rss_ne, counts, alpha)
     return {
         "coefficients": beta,
         "mse": rss / n_safe,
@@ -471,19 +540,22 @@ def _statistics_series(out, names, layout, layout_in):
     return out_series
 
 
-def _statistics_blocks(layout, vals, valid, policy, kwargs, names, layout_in):
-    """Fast statistics path: cached partition + one fused kernel + a single
-    small host fetch; output rows mirror the reference's statistics struct."""
+def _statistics_blocks(layout, vals, valid, policy, kwargs, names, layout_in,
+                       cd_params=None):
+    """Fast statistics path: cached partition + one fused kernel; no host
+    work scales with the group count — the output stays a device-native
+    statistics struct column."""
     Zp, wp, _, block_group, _, _ = _blocks_cached(layout, vals, valid, policy)
     out = _blocks_statistics_kernel(
-        Zp, wp, block_group, layout.num_groups, float(kwargs.alpha or 0.0)
+        Zp, wp, block_group, layout.num_groups, float(kwargs.alpha or 0.0),
+        cd_params,
     )
     return _statistics_series(out, names, layout, layout_in)
 
 
 def _sharded_static(
     layout, vals, valid, policy, alpha, cd_params, mode,
-    names, out_name, inv_w, layout_in, G, n,
+    names, out_name, inv_w, layout_in, G, n, force_refine: bool = False,
 ):
     """Multi-chip static fit: returns the finished output Series, or None to
     fall back to single-device execution (with a log explaining why)."""
@@ -523,7 +595,7 @@ def _sharded_static(
         return _statistics_series(out, names, layout, layout_in)
     beta, preds = fit_moments_sharded(
         mesh, X_fit, y_fit, wmask, gids, num_groups=G, alpha=alpha,
-        cd_params=cd_params, X_pred=X_pred,
+        cd_params=cd_params, X_pred=X_pred, force_refine=force_refine,
     )
     if mode == "coefficients":
         rows = beta if layout_in is None else _gather_per_row(layout, beta)
@@ -662,6 +734,29 @@ def _weighted_stack_cached(target, feat_series, weights):
     return out
 
 
+def _const_series(target, n: int):
+    """Engine-side intercept column: a cached all-ones Series (the reference
+    builds `target.fill_null(0)*0+1` as an expression, polars_ols/
+    least_squares.py:184-188 — identical values/validity, but here it joins
+    the fused column stack instead of paying its own expression kernels)."""
+    cache = getattr(target, "_layout_cache", None)
+    key = ("const", n)
+    if cache is not None and key in cache:
+        return cache[key]
+    s = Series("const", jnp.ones(n, dtype=F64))
+    try:
+        if cache is None:
+            cache = {}
+            object.__setattr__(target, "_layout_cache", cache)
+            register_cache_owner(target)
+        if len(cache) >= _STACK_CACHE_LIMIT:
+            cache.pop(next(iter(cache)))
+        cache[key] = s
+    except AttributeError:
+        pass
+    return s
+
+
 def _extract(target, feat_series):
     names = [s.name for s in feat_series]
     X = jnp.stack([jnp.asarray(s.values, dtype=F64) for s in feat_series], axis=1)
@@ -721,6 +816,7 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
             positive=positive,
         )
     (Xp, yp), wp = _pad_rows(layout, [problem.X, problem.y], problem.fit_mask)
+    n_valid = wp.sum(axis=1)
     Xp = Xp * wp[..., None]
     yp = yp * (wp if yp.ndim == 2 else wp[..., None])
     if (
@@ -731,15 +827,15 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
     ):
         # grouped explicit SVD: lane-major Householder + one-sided Jacobi
         # (exact to ~1e-14; the batched SVD custom call costs 20x more)
-        return _svd_lanes_jit(Xp, yp, float(alpha), kwargs.rcond)
-    return solve_from_rows(Xp, yp, float(alpha), method, kwargs.rcond)
+        return _svd_lanes_jit(Xp, yp, float(alpha), kwargs.rcond, n_valid)
+    return solve_from_rows(Xp, yp, float(alpha), method, kwargs.rcond, n_valid)
 
 
 @partial(jax.jit, static_argnames=("alpha", "rcond"))
-def _svd_lanes_jit(Xp, yp, alpha: float, rcond):
+def _svd_lanes_jit(Xp, yp, alpha: float, rcond, n_valid=None):
     from ..ops.linalg import svd_lstsq_lanes
 
-    return svd_lstsq_lanes(Xp, yp, alpha=alpha, rcond=rcond)
+    return svd_lstsq_lanes(Xp, yp, alpha=alpha, rcond=rcond, n_valid=n_valid)
 
 
 @partial(
@@ -764,12 +860,13 @@ def _svd_fit_kernel(
     from ..ops.linalg import svd_lstsq, svd_lstsq_lanes
 
     wf = vp.astype(F64)
+    n_valid = wf.sum(axis=1)
     Xm = Xp * wf[..., None]
     ym = yp * wf
     if use_lanes:
-        beta = svd_lstsq_lanes(Xm, ym, alpha=alpha, rcond=rcond)
+        beta = svd_lstsq_lanes(Xm, ym, alpha=alpha, rcond=rcond, n_valid=n_valid)
     else:
-        beta = svd_lstsq(Xm, ym, alpha=alpha, rcond=rcond)
+        beta = svd_lstsq(Xm, ym, alpha=alpha, rcond=rcond, n_valid=n_valid)
     if want == "beta":
         return beta
     if want == "rows":
@@ -814,6 +911,7 @@ def _solve_ne_refined_rows(
 )
 def _moving_query_kernel(
     Xp, yp, vp, unpad_idx, predict_valid,
+    inv_w,  # [N] 1/sqrt(w) WLS unscale in row order, or None
     model: str,  # "rls" | "rolling"
     params: tuple,  # static model hyper-parameters
     k: int,
@@ -853,14 +951,18 @@ def _moving_query_kernel(
     if lazy:
         return flat, validity
     if unpad_idx is None:  # single group: row order == padded order
-        return flat, validity
-    if not pair:
-        return jnp.take(flat, unpad_idx, axis=0), validity
-    hi = flat.astype(jnp.float32)
-    lo = (flat - hi.astype(F64)).astype(jnp.float32)
-    pairs = jnp.stack([hi, lo], axis=-1)
-    out = jnp.take(pairs, unpad_idx, axis=0)
-    return out[:, 0].astype(F64) + out[:, 1].astype(F64), validity
+        out = flat
+    elif not pair:
+        out = jnp.take(flat, unpad_idx, axis=0)
+    else:
+        hi = flat.astype(jnp.float32)
+        lo = (flat - hi.astype(F64)).astype(jnp.float32)
+        pairs = jnp.stack([hi, lo], axis=-1)
+        g = jnp.take(pairs, unpad_idx, axis=0)
+        out = g[:, 0].astype(F64) + g[:, 1].astype(F64)
+    if inv_w is not None:
+        out = out[: inv_w.shape[0]] * inv_w
+    return out, validity
 
 
 def _coef_struct(beta: jnp.ndarray, names: List[str], name: str = "coefficients"):
@@ -888,8 +990,11 @@ def evaluate_least_squares(
     layout_in,
     multi_target: bool = False,
     weights=None,
+    add_intercept: bool = False,
 ):
     n = len(target)
+    if add_intercept:
+        feat_series = list(feat_series) + [_const_series(target, n)]
     k = len(feat_series)
     moving = function_name in ("recursive_least_squares", "rolling_least_squares")
     policy = kwargs.null_policy
@@ -907,9 +1012,22 @@ def evaluate_least_squares(
         # explicit 'qr' runs the CholeskyQR2-equivalent path: fused moments
         # + Cholesky factor + unconditional CSNE row-space refinement
         # (QR-grade forward error at a fraction of a factorization's cost;
-        # reference col-piv QR: src/least_squares.rs:193-205)
-        if method in ("chol", "lu", "cd", "qr"):
-            force_refine = method == "qr"
+        # reference col-piv QR: src/least_squares.rs:193-205).
+        # Single-group large-K explicit 'svd' on tall data takes the same
+        # moment path with an in-kernel conditioning guard that reroutes to
+        # the true minimum-norm SVD on rank trouble (_SVD_GUARD_COND) —
+        # full-rank solutions are identical and the moment pass replaces a
+        # ~190 ms Householder+SVD program at 10k x 100.
+        svd_single = (
+            method == "svd"
+            and G == 1
+            and k > 8
+            and kwargs.rcond is None
+            and n > k
+            and mode != "statistics"
+        )
+        if method in ("chol", "lu", "cd", "qr") or svd_single:
+            force_refine = method in ("qr", "svd")
             cd_params = None
             if method == "cd":
                 cd_params = (
@@ -935,13 +1053,14 @@ def evaluate_least_squares(
             if CONFIG.auto_shard and jax.device_count() > 1:
                 out = _sharded_static(
                     layout, vals, valid, policy, alpha, cd_params, mode,
-                    names, out_name, inv_w, layout_in, G, n,
+                    names, out_name, inv_w, layout_in, G, n, force_refine,
                 )
                 if out is not None:
                     return out
-            if mode == "statistics" and method != "cd":
+            if mode == "statistics":
                 return _statistics_blocks(
-                    layout, vals, valid, policy, kwargs, names, layout_in
+                    layout, vals, valid, policy, kwargs, names, layout_in,
+                    cd_params,
                 )
             # block predictions reuse fit-side features; valid whenever the
             # predict features coincide with (or are masked over) fit ones
@@ -960,11 +1079,12 @@ def evaluate_least_squares(
                 if digits is not None:
                     fit = lambda want: _blocks_fit_kernel_ozaki(
                         Zp, digits, scales, *tail, G, alpha, want, cd_params,
-                        force_refine,
+                        force_refine, svd_single,
                     )
                 else:
                     fit = lambda want: _blocks_fit_kernel(
-                        Zp, *tail, G, alpha, want, cd_params, force_refine
+                        Zp, *tail, G, alpha, want, cd_params, force_refine,
+                        svd_single,
                     )
                 if mode == "coefficients":
                     beta = fit("beta" if layout_in is None else "rows")
@@ -1049,7 +1169,17 @@ def evaluate_least_squares(
             solve_rolling_lanes,
         )
 
-        vals_m, valid_m = _stack_cached(target, feat_series)
+        # engine-side WLS for moving models: the whole [N, 1+K] stack is
+        # scaled by sqrt(w) in one device op (reference pre-scales each
+        # column expression-side, least_squares.py:190-196) and predictions
+        # are unscaled by 1/sqrt(w) inside the fused query program
+        inv_w = None
+        if weights is not None:
+            vals_m, valid_m, _, inv_w = _weighted_stack_cached(
+                target, feat_series, weights
+            )
+        else:
+            vals_m, valid_m = _stack_cached(target, feat_series)
         Xp, yp, vp, predict_valid = _moving_cached(layout, vals_m, valid_m, policy)
         R_pad = Xp.shape[1]
         is_rls = function_name == "recursive_least_squares"
@@ -1096,12 +1226,12 @@ def evaluate_least_squares(
         )
         if use_lanes and not shard_ok and mode != "coefficients":
             # the whole predictions query as ONE device program (kernel +
-            # multiply-adds + NaN->null + unpad): eager post-ops each pay a
-            # serialized ~30 ms dispatch round-trip on this backend
-            lazy_out = G > 1 and CONFIG.lazy_row_order
+            # multiply-adds + NaN->null + unpad + WLS unscale): eager
+            # post-ops each pay a serialized ~30 ms dispatch round-trip
+            lazy_out = G > 1 and CONFIG.lazy_row_order and inv_w is None
             unpad_idx = layout.device_unpad(R_pad) if G > 1 else None
             flat, validity = _moving_query_kernel(
-                Xp, yp, vp, unpad_idx, predict_valid,
+                Xp, yp, vp, unpad_idx, predict_valid, inv_w,
                 model="rls" if is_rls else "rolling",
                 params=model_params,
                 k=k,
@@ -1213,7 +1343,7 @@ def evaluate_least_squares(
             predict_valid = (
                 finite if predict_valid is None else predict_valid & finite
             )
-        if G > 1 and CONFIG.lazy_row_order:
+        if G > 1 and CONFIG.lazy_row_order and inv_w is None:
             from ..series import BlockPermuted
 
             R_full = preds_p.shape[1]
@@ -1224,6 +1354,8 @@ def evaluate_least_squares(
             )
             return Series(out_name, lazy, predict_valid)
         preds = _unpad_rows(layout, preds_p)
+        if inv_w is not None:
+            preds = preds * inv_w
         return Series(out_name, preds, predict_valid)
 
 
@@ -1247,7 +1379,7 @@ def evaluate_least_squares(
             return _statistics(problem, layout, kwargs, names, layout_in, k)
         beta = _fit_static(problem, layout, kwargs, k)
         if beta.ndim == 3:  # multi-target [G, K, M]
-            return _multi_target_output(problem, beta, layout, target_names)
+            return _multi_target_output(problem, beta, layout, target_names, inv_w)
         if mode == "coefficients":
             if layout_in is None:
                 return _coef_struct(beta, names)
@@ -1263,14 +1395,18 @@ def evaluate_least_squares(
     raise ValueError(f"unknown least-squares function {function_name!r}")
 
 
-def _multi_target_output(problem, beta, layout, target_names):
+def _multi_target_output(problem, beta, layout, target_names, inv_w=None):
     """Predictions struct for multi-target fits (src/expressions.rs:521-591):
-    Drop policy masks whole output rows with nulls."""
+    Drop policy masks whole output rows with nulls; weighted fits unscale
+    by 1/sqrt(w) (the reference's expression-level post-step,
+    least_squares.py:234-235)."""
     if layout.num_groups == 1:
         preds = jnp.einsum("nk,km->nm", problem.X_predict, beta[0])
     else:
         coef_g = _gather_per_row(layout, beta)  # [N, K, M]
         preds = jnp.einsum("nk,nkm->nm", problem.X_predict, coef_g)
+    if inv_w is not None:
+        preds = preds * inv_w[:, None]
     validity = None
     if problem.predict_valid is not None:
         validity = problem.predict_valid[:, None] & jnp.ones_like(preds, dtype=bool)
@@ -1304,27 +1440,16 @@ def _statistics(problem, layout, kwargs, names, layout_in, k):
     (yp, pp), wp = _pad_rows(layout, [problem.y, preds], problem.fit_mask)
     rm = residual_metrics(yp, pp, wp)
 
-    rows = []
-    beta_np = np.asarray(beta)
-    fm_np = {kk: np.asarray(vv) for kk, vv in fm.items()}
-    rm_np = {kk: np.asarray(vv) for kk, vv in rm.items()}
-    for g in range(layout.num_groups):
-        rows.append(
-            {
-                "r2": float(rm_np["r2"][g]),
-                "mae": float(rm_np["mae"][g]),
-                "mse": float(rm_np["mse"][g]),
-                "feature_names": list(names),
-                "coefficients": beta_np[g].tolist(),
-                "standard_errors": fm_np["standard_errors"][g].tolist(),
-                "t_values": fm_np["t_values"][g].tolist(),
-                "p_values": fm_np["p_values"][g].tolist(),
-            }
-        )
-    out = ObjectSeries("statistics", rows)
-    if layout_in is not None:
-        out = out.gather(layout.gids)
-    return out
+    out = {
+        "coefficients": beta,
+        "mse": rm["mse"],
+        "mae": rm["mae"],
+        "r2": rm["r2"],
+        "standard_errors": fm["standard_errors"],
+        "t_values": fm["t_values"],
+        "p_values": fm["p_values"],
+    }
+    return _statistics_series(out, names, layout, layout_in)
 
 
 # --------------------------------------------------------------------------- #

@@ -221,14 +221,26 @@ def build_layout(gids: Optional[np.ndarray], n_rows: int) -> GroupLayout:
     return GroupLayout(gids, num_groups, counts, order, rank)
 
 
+def bucket_size(n: int) -> int:
+    """Round ``n`` up to a shape bucket (8 sub-buckets per power of two,
+    <=12.5% padding waste). Jitted programs are keyed on array shapes, so
+    bucketing the padded layout width lets one compiled program serve every
+    max-group-size in the bucket instead of recompiling per exact size."""
+    if n <= 8:
+        return max(n, 1)
+    step = 1 << (max(0, (n - 1).bit_length() - 3))
+    return -(-n // step) * step
+
+
 def padded_indices(layout: GroupLayout) -> Tuple[np.ndarray, np.ndarray, int]:
     """Row-gather indices for the fully padded [G, R_max] layout.
 
     Returns (gather_idx [G, R], pad_mask [G, R], R). Padding rows gather row 0
-    and are masked out.
+    and are masked out. R is bucketed (see `bucket_size`) to bound the number
+    of distinct compiled programs across query shapes.
     """
     G = layout.num_groups
-    R = int(layout.counts.max()) if G else 0
+    R = bucket_size(int(layout.counts.max())) if G else 0
     gather = np.zeros((G, R), dtype=np.int64)
     mask = np.zeros((G, R), dtype=bool)
     rows = np.arange(len(layout.gids), dtype=np.int64)

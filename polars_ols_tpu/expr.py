@@ -382,12 +382,19 @@ class AggExpr(Expr):
             idx = order[starts] if self.op == "first" else order[starts + layout.counts - 1]
             return s.gather(idx)
         if self.op == "n_unique":
-            vals = s.to_numpy()
-            gids = layout.gids
+            # vectorized: lexsort by (group, value), count group-starts and
+            # value-changes — O(N log N) host work, no per-group loop
+            vals = s.to_numpy().astype(float)
+            finite = ~np.isnan(vals)
+            v, g = vals[finite], layout.gids[finite]
             out = np.zeros(G)
-            for g in range(G):
-                v = vals[gids == g]
-                out[g] = float(len(np.unique(v[~np.isnan(v.astype(float))])))
+            if len(v):
+                order = np.lexsort((v, g))
+                gs, vs = g[order], v[order]
+                new = np.empty(len(gs), dtype=bool)
+                new[0] = True
+                new[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+                out = np.bincount(gs[new], minlength=G)[:G].astype(float)
             return Series(s.name, out)
         vals = jnp.asarray(s.values, dtype=jnp.float64)
         out, ok = self._reduce(vals, s.valid_mask(), layout.device_gids(), G)
@@ -484,6 +491,7 @@ class LeastSquaresExpr(Expr):
         mode: str,
         multi_target: bool = False,
         weights: "Expr" = None,
+        add_intercept: bool = False,
     ):
         self.function_name = function_name
         self.target = target
@@ -492,6 +500,7 @@ class LeastSquaresExpr(Expr):
         self.mode = mode
         self.multi_target = multi_target
         self.weights = weights  # engine-side WLS scaling (least_squares.py)
+        self.add_intercept = add_intercept  # engine-side 'const' column
 
     @property
     def output_name(self) -> Optional[str]:
@@ -517,6 +526,7 @@ class LeastSquaresExpr(Expr):
             groups,
             multi_target=self.multi_target,
             weights=weights,
+            add_intercept=self.add_intercept,
         )
 
 
@@ -574,7 +584,13 @@ def _binop_series(op: str, l, r):
         return m
 
     lv, rv = as_vals(l), as_vals(r)
-    validity = as_valid(l) & as_valid(r)
+    # all-valid tracking stays host-side (validity is None): forcing a
+    # device `validity.all()` fetch here would serialize a ~30 ms tunnel
+    # round-trip into EVERY arithmetic node on this backend
+    if l.validity is None and r.validity is None:
+        validity = None
+    else:
+        validity = as_valid(l) & as_valid(r)
     if op == "add":
         out = lv + rv
     elif op == "sub":
@@ -585,8 +601,6 @@ def _binop_series(op: str, l, r):
         out = lv / rv
     else:  # pragma: no cover
         raise ValueError(op)
-    if bool(validity.all()):
-        validity = None
     name = l.name if l.name != "literal" else r.name
     return Series(name, out, validity)
 

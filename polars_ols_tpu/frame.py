@@ -302,7 +302,10 @@ class DataFrame:
         ri_pos = np.repeat(starts, counts) + within
         if how == "left":
             valid_r = np.repeat(matched, counts)
-            ri = r_order[np.where(valid_r, np.minimum(ri_pos, len(r_sorted) - 1), 0)]
+            if len(r_sorted) == 0:  # empty right frame: all rows unmatched
+                ri = np.zeros(total, dtype=np.int64)
+            else:
+                ri = r_order[np.where(valid_r, np.minimum(ri_pos, len(r_sorted) - 1), 0)]
         else:
             valid_r = None
             ri = r_order[ri_pos]
@@ -312,12 +315,12 @@ class DataFrame:
                 if k in on:
                     continue
                 c = c.alias(k + "_right")
+            if valid_r is not None and len(other) == 0:
+                cols.append(_null_column(c, total))
+                continue
             rcol = c.gather(ri)
-            if valid_r is not None and isinstance(rcol, Series):
-                rcol = Series(
-                    rcol.name, rcol.values,
-                    rcol.valid_mask() & jnp.asarray(valid_r),
-                )
+            if valid_r is not None:
+                rcol = _mask_rows(rcol, valid_r)
             cols.append(rcol)
         return DataFrame._from_columns(cols)
 
@@ -365,6 +368,47 @@ class DataFrame:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"DataFrame(shape={self.shape}, columns={self.columns})"
+
+
+def _mask_rows(col: AnySeries, keep: np.ndarray) -> AnySeries:
+    """Null-out rows of any column type where ``keep`` is False (left-join
+    unmatched rows). Float/struct columns carry validity; statistics columns
+    NaN their metric arrays; object columns take None."""
+    if isinstance(col, Series):
+        return Series(col.name, col._values, col.valid_mask() & jnp.asarray(keep))
+    if isinstance(col, StructSeries):
+        valid = col.validity if col.validity is not None else jnp.ones_like(col.values, dtype=bool)
+        return StructSeries(col.name, col.field_names, col.values,
+                            valid & jnp.asarray(keep)[:, None])
+    if isinstance(col, StatisticsSeries):
+        kd = jnp.asarray(keep)
+        arrays = {
+            k: jnp.where(kd if v.ndim == 1 else kd[:, None], v, jnp.nan)
+            for k, v in col.arrays.items()
+        }
+        return StatisticsSeries(col.name, col.feature_names, arrays)
+    if isinstance(col, ObjectSeries):
+        return ObjectSeries(
+            col.name, [v if ok else None for v, ok in zip(col.values, keep)]
+        )
+    return col
+
+
+def _null_column(col: AnySeries, n: int) -> AnySeries:
+    """An all-null column of height ``n`` matching ``col``'s type (left join
+    against an empty right frame)."""
+    if isinstance(col, StructSeries):
+        k = len(col.field_names)
+        return StructSeries(col.name, col.field_names, jnp.zeros((n, k)),
+                            jnp.zeros((n, k), dtype=bool))
+    if isinstance(col, StatisticsSeries):
+        arrays = {
+            k: jnp.full((n,) + v.shape[1:], jnp.nan) for k, v in col.arrays.items()
+        }
+        return StatisticsSeries(col.name, col.feature_names, arrays)
+    if isinstance(col, ObjectSeries):
+        return ObjectSeries(col.name, [None] * n)
+    return Series(col.name, np.zeros(n), np.zeros(n, dtype=bool))
 
 
 def _broadcast(s: AnySeries, n: int) -> AnySeries:
@@ -441,12 +485,18 @@ class LazyFrame:
     def __init__(self, df: DataFrame, plan: Optional[List] = None):
         self._df = df
         self._plan = plan or []
+        self._collected: Optional[DataFrame] = None
 
     def collect(self) -> DataFrame:
-        out = self._df
-        for name, args, kwargs in self._plan:
-            out = getattr(out, name)(*args, **kwargs)
-        return out
+        # plans are immutable (deferral builds a new LazyFrame), so the
+        # collected frame is cached: metadata access (.columns, .height...)
+        # between collects no longer replays the whole plan each time
+        if self._collected is None:
+            out = self._df
+            for name, args, kwargs in self._plan:
+                out = getattr(out, name)(*args, **kwargs)
+            self._collected = out
+        return self._collected
 
     def explain(self) -> str:
         """Render the deferred plan (top = first executed)."""
@@ -480,8 +530,21 @@ def concat(frames: List[DataFrame], how: str = "vertical", rechunk: bool = True)
     for name in names:
         parts = [f.get_column(name) for f in frames]
         if isinstance(parts[0], Series):
-            vals = np.concatenate([p.to_numpy() for p in parts])
-            cols.append(Series(name, vals, ~np.isnan(vals) if np.isnan(vals).any() else None))
+            if all(isinstance(p, Series) and p.is_float for p in parts):
+                # stay on device and carry validity through: a to_numpy
+                # round-trip would re-derive validity as ~isnan, silently
+                # turning valid NaN values into nulls (null != NaN here,
+                # like polars — see series.py construction semantics)
+                vals = jnp.concatenate([jnp.asarray(p.values) for p in parts])
+                if all(p.validity is None for p in parts):
+                    validity = None
+                else:
+                    validity = jnp.concatenate([p.valid_mask() for p in parts])
+                cols.append(Series(name, vals, validity))
+            else:
+                vals = np.concatenate([p.to_numpy() for p in parts])
+                validity = ~np.isnan(vals) if np.isnan(vals).any() else None
+                cols.append(Series(name, vals, validity))
         elif isinstance(parts[0], StructSeries):
             vals = jnp.concatenate([p.values for p in parts], axis=0)
             valid = jnp.concatenate([p.validity if p.validity is not None

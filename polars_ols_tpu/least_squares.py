@@ -21,7 +21,6 @@ from .expr import (
     lit,
     parse_into_expr,
 )
-from .config import EPSILON
 
 logger = logging.getLogger(__name__)
 
@@ -59,9 +58,10 @@ class Kwargs:
         return asdict(self)
 
     def __post_init__(self):
-        assert (
-            self.null_policy in _VALID_NULL_POLICIES
-        ), f"'null_policy' must be one of {_VALID_NULL_POLICIES}. You passed: {self.null_policy}"
+        assert self.null_policy in _VALID_NULL_POLICIES, (
+            f"unknown null_policy {self.null_policy!r}; "
+            f"expected one of {sorted(_VALID_NULL_POLICIES)}"
+        )
 
 
 @dataclass
@@ -89,12 +89,14 @@ class OLSKwargs(Kwargs):
 
     def __post_init__(self):
         valid_ols_policies = _VALID_NULL_POLICIES - {"drop_window"}
-        assert (
-            self.null_policy in valid_ols_policies
-        ), f"'null_policy' must be one of {valid_ols_policies}. You passed: {self.null_policy}"
-        assert (
-            self.solve_method in _VALID_SOLVE_METHODS
-        ), f"'solve_method' must be one of {_VALID_SOLVE_METHODS}. You passed: {self.solve_method}"
+        assert self.null_policy in valid_ols_policies, (
+            f"unknown null_policy {self.null_policy!r} for a static fit; "
+            f"expected one of {sorted(valid_ols_policies)}"
+        )
+        assert self.solve_method in _VALID_SOLVE_METHODS, (
+            f"unknown solve_method {self.solve_method!r}; "
+            f"expected one of {sorted(s for s in _VALID_SOLVE_METHODS if s)} or None"
+        )
 
 
 @dataclass
@@ -128,21 +130,28 @@ def _pre_process_data(
     sample_weights: Optional[ExprOrStr],
     add_intercept: bool,
 ):
-    """Intercept injection + sqrt-weight WLS scaling (reference
-    least_squares.py:163-196)."""
+    """Parse inputs and decide intercept injection (reference
+    least_squares.py:163-196).
+
+    Unlike the reference — which expands the intercept and the sqrt-weight
+    WLS scaling into per-column expressions, paying one kernel per feature —
+    both are folded into the engine's fused device programs (engine/fit.py):
+    the const column joins the cached column stack and every column
+    (intercept included, as in the reference) is scaled by sqrt(w) in a
+    single device op. Numerically identical to the pre-scaled formulation.
+    """
     target = parse_into_expr(target)
     features = [parse_into_expr(f) for f in features]
+    add_const = False
     if add_intercept:
         if any(f.meta.output_name == "const" for f in features):
             logger.info("feature named 'const' already detected, assuming it is an intercept")
         else:
-            features.append(target.fill_null(0.0).mul(0.0).add(1.0).alias("const"))
-    sqrt_w: Optional[Expr] = None
+            add_const = True
+    weights: Optional[Expr] = None
     if sample_weights is not None:
-        sqrt_w = parse_into_expr(sample_weights).sqrt().fill_null(EPSILON)
-        target = target * sqrt_w
-        features = [(expr * sqrt_w) for expr in features]
-    return target, features, sqrt_w
+        weights = parse_into_expr(sample_weights)
+    return target, features, weights, add_const
 
 
 def _build_least_squares_expr(
@@ -155,52 +164,23 @@ def _build_least_squares_expr(
     **kwargs,
 ) -> Expr:
     """Equivalent of the reference's `_register_least_squares_plugin`
-    (least_squares.py:199-239): builds the model node plus the python-side
-    post-processing (WLS unscaling, residual arithmetic).
-
-    For static single-target fits the sqrt-weight scaling is NOT expanded
-    into per-column expressions (the reference's approach costs one kernel
-    per feature column); the raw weight expression is passed to the engine,
-    which folds the scaling into its fused kernels (engine/fit.py) —
-    numerically identical to the reference's pre-scaled formulation.
-    """
+    (least_squares.py:199-239). The engine returns already-unscaled
+    predictions for weighted fits, so the only expression-level post-step
+    left is the residual subtraction (reference :236-239, which likewise
+    computes residuals against the unscaled target)."""
     target = parse_into_expr(target)
-    engine_weights = (
-        function_name == "least_squares"
-        and not multi_target
-        and mode != "statistics"
-        and kwargs.get("sample_weights") is not None
+    target_fit, features_fit, weights, add_const = _pre_process_data(
+        target, *features, **kwargs
     )
-    if engine_weights:
-        weights = parse_into_expr(kwargs.pop("sample_weights"))
-        kwargs["sample_weights"] = None
-        target_fit, features_fit, _ = _pre_process_data(target, *features, **kwargs)
-        if mode == "coefficients":
-            return LeastSquaresExpr(
-                function_name, target_fit, features_fit, ols_kwargs, mode,
-                weights=weights,
-            ).alias(mode)
-        predictions = LeastSquaresExpr(
-            function_name, target_fit, features_fit, ols_kwargs, "predictions",
-            weights=weights,
-        )
-        if mode == "predictions":
-            return predictions
-        return target - predictions  # residuals
-
-    target_fit, features_fit, sqrt_w = _pre_process_data(target, *features, **kwargs)
-
     if mode in ("coefficients", "statistics"):
         return LeastSquaresExpr(
             function_name, target_fit, features_fit, ols_kwargs, mode,
-            multi_target=multi_target,
+            multi_target=multi_target, weights=weights, add_intercept=add_const,
         ).alias(mode)
     predictions = LeastSquaresExpr(
         function_name, target_fit, features_fit, ols_kwargs, "predictions",
-        multi_target=multi_target,
+        multi_target=multi_target, weights=weights, add_intercept=add_const,
     )
-    if sqrt_w is not None:
-        predictions = predictions * (1.0 / sqrt_w)
     if mode == "predictions":
         return predictions
     return target - predictions  # residuals
@@ -215,7 +195,9 @@ def compute_least_squares(
     ols_kwargs: Optional[OLSKwargs] = None,
 ) -> Expr:
     """OLS/WLS/regularized least squares (reference least_squares.py:242-279)."""
-    assert mode in _VALID_OUTPUT_MODES, f"'mode' must be one of {_VALID_OUTPUT_MODES}"
+    assert mode in _VALID_OUTPUT_MODES, (
+        f"unknown mode {mode!r}; expected one of {sorted(_VALID_OUTPUT_MODES)}"
+    )
     ols_kwargs = ols_kwargs or OLSKwargs()
     return _build_least_squares_expr(
         target,
@@ -278,7 +260,9 @@ def compute_recursive_least_squares(
 ) -> Expr:
     """Recursive least squares (reference least_squares.py:332-369)."""
     valid_output_modes = _VALID_OUTPUT_MODES - {"statistics"}
-    assert mode in valid_output_modes, f"'mode' must be one of {valid_output_modes}"
+    assert mode in valid_output_modes, (
+        f"unknown mode {mode!r}; expected one of {sorted(valid_output_modes)}"
+    )
     rls_kwargs = rls_kwargs or RLSKwargs()
     return _build_least_squares_expr(
         target,
@@ -301,7 +285,9 @@ def compute_rolling_least_squares(
 ) -> Expr:
     """Rolling-window least squares (reference least_squares.py:372-409)."""
     valid_output_modes = _VALID_OUTPUT_MODES - {"statistics"}
-    assert mode in valid_output_modes, f"'mode' must be one of {valid_output_modes}"
+    assert mode in valid_output_modes, (
+        f"unknown mode {mode!r}; expected one of {sorted(valid_output_modes)}"
+    )
     rolling_kwargs = rolling_kwargs or RollingKwargs()
     expr = _build_least_squares_expr(
         target,
@@ -358,7 +344,7 @@ def predict(
     """Row-aligned coefficient-struct dot features (reference
     least_squares.py:455-491)."""
     assert null_policy in _VALID_NULL_POLICIES, (
-        "'null_policy' must be one of {drop, ignore, zero}"
+        f"unknown null_policy {null_policy!r}; predict supports drop/ignore/zero"
     )
     coefficients = parse_into_expr(coefficients)
     features = [parse_into_expr(f) for f in features]

@@ -116,6 +116,91 @@ def _cd_cov_single(
     return w
 
 
+# above this K the cyclic sweep's K sequential coordinate steps (each a
+# handful of tiny ops) dominate wall-clock on this backend; the accelerated
+# proximal-gradient formulation converges in whole-vector iterations instead
+_FISTA_MIN_K = 33
+
+
+def _mv(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """K x K f64 matvec as elementwise+reduce (the einsum form lowers to the
+    emulated-f64 MXU on this backend)."""
+    return (M * v[None, :]).sum(axis=1)
+
+
+def _cd_cov_single_fista(
+    XtX: jnp.ndarray,  # [K, K]
+    Xty: jnp.ndarray,  # [K]
+    n_valid: jnp.ndarray,
+    alpha: float,
+    l1_ratio: float,
+    max_iter: int,
+    tol: float,
+    positive: bool,
+) -> jnp.ndarray:
+    """Large-K solver: FISTA with adaptive restart on the covariance form,
+    polished by two exact cyclic-CD sweeps.
+
+    Minimizes the identical objective as `_cd_cov_single` (the reference's
+    src/least_squares.rs:386-445, alpha scaled by n_valid) but advances with
+    whole-vector proximal-gradient steps — one K x K matvec + soft-threshold
+    per iteration — instead of K sequential coordinate updates per sweep.
+    The elastic-net objective is convex (strongly so for l2 > 0), so both
+    iterations share their fixed points; the closing CD sweeps snap exact
+    coordinate-wise optimality (and exact zeros) at the reference's own
+    update rule. Inner stopping is 20x tighter than `tol` so the outer
+    `||w_sweep_delta|| < tol` contract is met at the polish step."""
+    K = XtX.shape[0]
+    a = alpha * jnp.maximum(n_valid, 1.0)
+    a_l1 = a * l1_ratio
+    a_l2 = a * (1.0 - l1_ratio)
+
+    # step size 1/L, L = lambda_max(XtX) + a_l2 via power iteration
+    def pw(_, v):
+        v = _mv(XtX, v)
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-300)
+
+    v0 = jnp.full(K, 1.0 / jnp.sqrt(K), dtype=F64)
+    v = lax.fori_loop(0, 24, pw, v0)
+    L = jnp.vdot(v, _mv(XtX, v)) * 1.02 + a_l2 + 1e-300
+
+    inner_tol = tol * 0.05
+
+    def body(state):
+        w, z, t, it, _ = state
+        grad = _mv(XtX, z) - Xty + a_l2 * z
+        w_new = _soft_threshold(z - grad / L, a_l1 / L, positive)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z_new = w_new + ((t - 1.0) / t_new) * (w_new - w)
+        # adaptive restart (O'Donoghue-Candes gradient scheme)
+        restart = jnp.vdot(z - w_new, w_new - w) > 0.0
+        z_new = jnp.where(restart, w_new, z_new)
+        t_new = jnp.where(restart, 1.0, t_new)
+        return w_new, z_new, t_new, it + 1, jnp.linalg.norm(w_new - w)
+
+    def cond(state):
+        _, _, _, it, delta = state
+        return (it < 4 * max_iter) & (delta >= inner_tol)
+
+    w0 = jnp.zeros(K, dtype=F64)
+    w, _, _, _, _ = lax.while_loop(
+        cond, body, (w0, w0, jnp.asarray(1.0, F64), jnp.int32(0), jnp.asarray(jnp.inf, F64))
+    )
+
+    # two exact cyclic sweeps at the reference's own coordinate update
+    diag = jnp.diagonal(XtX)
+
+    def coord_body(j, w):
+        rho = Xty[j] - jnp.dot(XtX[j], w) + diag[j] * w[j]
+        denom = diag[j] + a_l2
+        w_j = _soft_threshold(rho, a_l1, positive) / jnp.where(denom > 0, denom, 1.0)
+        return w.at[j].set(w_j)
+
+    for _ in range(2):
+        w = lax.fori_loop(0, K, coord_body, w)
+    return w
+
+
 @partial(jax.jit, static_argnames=("alpha", "l1_ratio", "max_iter", "tol", "positive"))
 def solve_elastic_net_cov(
     XtX: jnp.ndarray,  # [G, K, K]
@@ -135,9 +220,15 @@ def solve_elastic_net_cov(
     the moment matrices instead of O(n) over the row data (the classic
     n >> k "precompute" formulation, cf. sklearn's Gram variant). Combined
     with the engine's int8-digit moment accumulation this removes every
-    per-sweep pass over the rows."""
+    per-sweep pass over the rows.
+
+    Above ``_FISTA_MIN_K`` features the sequential K-step sweeps give way to
+    accelerated proximal-gradient iterations (same fixed point, CD-polished;
+    see `_cd_cov_single_fista`) — at K=100 the cyclic sweep spends its time
+    in per-coordinate op dispatch, not math."""
+    single = _cd_cov_single if XtX.shape[-1] < _FISTA_MIN_K else _cd_cov_single_fista
     fn = partial(
-        _cd_cov_single,
+        single,
         alpha=alpha,
         l1_ratio=l1_ratio,
         max_iter=max_iter,

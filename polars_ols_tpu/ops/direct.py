@@ -112,9 +112,11 @@ def solve_from_rows(
     alpha: float,
     method: str,
     rcond: Optional[float],
+    n_valid: Optional[jnp.ndarray] = None,  # [G] valid-row counts
 ) -> jnp.ndarray:
     """Row-space solves: 'qr' (rank-tolerant QR) or 'svd' (minimum-norm with
-    numpy-lstsq rcond semantics, optionally ridge-shrunk)."""
+    numpy-lstsq rcond semantics — per-group valid-row counts, not the padded
+    row dimension — optionally ridge-shrunk)."""
     if method == "qr":
         return qr_lstsq(Xp, yp)
-    return svd_lstsq(Xp, yp, alpha=alpha, rcond=rcond)
+    return svd_lstsq(Xp, yp, alpha=alpha, rcond=rcond, n_valid=n_valid)

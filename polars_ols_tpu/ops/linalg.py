@@ -195,19 +195,28 @@ def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_psd_cond(A: jnp.ndarray, b: jnp.ndarray):
+    """solve_psd plus a cheap per-lane condition estimate of A (see
+    solve_psd_cond_ok)."""
+    sol, cond_est, _ = solve_psd_cond_ok(A, b)
+    return sol, cond_est
+
+
+def solve_psd_cond_ok(A: jnp.ndarray, b: jnp.ndarray):
     """solve_psd plus a cheap per-lane condition estimate of A.
 
     The estimate is the squared ratio of extreme Cholesky pivots,
     ``(max_j L_jj / min_j L_jj)^2`` — a lower bound on cond_2(A) that is
     tight for the near-collinear-column failure mode of normal equations.
     Failed lanes (handled by the eigh fallback) report estimate 1 so they
-    do not trigger the caller's refinement branch.
+    do not trigger the caller's refinement branch; the third return value
+    flags them explicitly for callers that must reroute failures (e.g. the
+    explicit-svd minimum-norm guard).
 
-    Returns (solution, cond_est [...]).
+    Returns (solution, cond_est [...], chol_ok [...]).
     """
     k = A.shape[-1]
     rhs = b[..., None] if b.ndim == A.ndim - 1 else b
-    out, _ = _solve_psd_inner(A, rhs)
+    out, ok = _solve_psd_inner(A, rhs)
     if k <= _UNROLL_MAX_K:
         # one extra factorization-diag pass would be wasteful; derive the
         # pivots from A's leading-submatrix determinant recurrence instead?
@@ -224,7 +233,7 @@ def solve_psd_cond(A: jnp.ndarray, b: jnp.ndarray):
         finite.all(axis=-1), dmax / jnp.maximum(dmin, 1e-300), 1.0
     )
     sol = out[..., 0] if b.ndim == A.ndim - 1 else out
-    return sol, cond_est
+    return sol, cond_est, ok
 
 
 def _chol_pivots_squared(A: jnp.ndarray) -> jnp.ndarray:
@@ -378,11 +387,15 @@ def svd_lstsq_lanes(
     yp: jnp.ndarray,  # [G, R] or [G, R, M]
     alpha: float | jnp.ndarray = 0.0,
     rcond: float | None = None,
+    n_valid: jnp.ndarray | None = None,  # [G] per-group valid-row counts
 ) -> jnp.ndarray:
     """Grouped minimum-norm (ridge-shrunk) SVD least squares in lane-major
     layout: Householder reduction to the K x K factor + one-sided Jacobi
     SVD, with numpy-lstsq rcond-cutoff semantics identical to `svd_lstsq`
-    (reference solve_ridge_svd, src/least_squares.rs:106-168)."""
+    (reference solve_ridge_svd, src/least_squares.rs:106-168). The default
+    cutoff uses each group's own valid-row count (``n_valid``) rather than
+    the padded row dimension, so small groups keep numpy's
+    ``eps * max(n_g, k)`` semantics."""
     G, n, k = Xp.shape
     squeeze = yp.ndim == 2
     Y = yp[..., None] if squeeze else yp
@@ -392,7 +405,10 @@ def svd_lstsq_lanes(
     u, s, v = jacobi_svd_lanes(Rf)
     uty = (u[:, :, None, :] * QtY[:, None, :, :]).sum(axis=0)  # [K, M, G]
     if rcond is None:
-        rcond = _EPS64 * max(n, k)
+        if n_valid is not None:
+            rcond = _EPS64 * jnp.maximum(n_valid.astype(F64), float(k))  # [G]
+        else:
+            rcond = _EPS64 * max(n, k)
     cut = rcond * s.max(axis=0)  # [G]
     alpha = jnp.asarray(alpha, dtype=F64)
     denom = s * s + alpha
@@ -411,6 +427,7 @@ def svd_lstsq(
     y: jnp.ndarray,
     alpha: float | jnp.ndarray = 0.0,
     rcond: float | None = None,
+    n_valid: jnp.ndarray | None = None,  # [...] per-problem valid-row counts
 ) -> jnp.ndarray:
     """Minimum-norm (ridge-shrunk) least squares via SVD, batched.
 
@@ -448,7 +465,11 @@ def svd_lstsq(
         uty = jnp.einsum("...ni,...nm->...im", u, Y)
 
     if rcond is None:
-        rcond = _EPS64 * max(n, k)
+        if n_valid is not None:
+            # per-problem numpy-lstsq default: eps * max(n_valid, k)
+            rcond = _EPS64 * jnp.maximum(n_valid.astype(F64), float(k))[..., None]
+        else:
+            rcond = _EPS64 * max(n, k)
     cut = rcond * jnp.max(s, axis=-1, keepdims=True)
     alpha = jnp.asarray(alpha, dtype=F64)
     denom = s * s + alpha[..., None] if alpha.ndim else s * s + alpha
@@ -499,6 +520,10 @@ def qr_lstsq(X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     def solve_deficient(_):
         # zero out dropped columns; solve (X_keep^T X_keep + tiny*I) via
         # masked normal equations so dropped coefficients are exactly 0.
+        # Per-lane selection: only the rank-deficient lanes take this
+        # fallback — full-rank lanes in the same batch keep the QR
+        # back-substitution result (matching the per-group semantics of
+        # the reference's per-call column-pivoted QR).
         Xm = X * keep[..., None, :]
         A = jnp.einsum("...nk,...nl->...kl", Xm, Xm)
         # unit diagonal on dropped columns keeps the system non-singular
@@ -507,7 +532,9 @@ def qr_lstsq(X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
             keep, 0.0, 1.0
         )[..., :, None]
         b = jnp.einsum("...nk,...n->...k", Xm, y)
-        return solve_psd(A, b) * keep
+        fallback = solve_psd(A, b) * keep
+        lane_full = keep.all(axis=-1)  # [...] per-lane rank flag
+        return jnp.where(lane_full[..., None], solve_full(None), fallback)
 
     return lax.cond(full_rank, solve_full, solve_deficient, operand=None)
 

@@ -36,6 +36,7 @@ Two formulations:
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -47,8 +48,8 @@ F64 = jnp.float64
 F32 = jnp.float32
 
 # unrolled lane-Cholesky op count grows ~K^3/6; above this K the refined-SM
-# formulation wins (and compiles in sane time)
-LANE_CHOL_MAX_K = 8
+# formulation wins (and compiles in sane time). Env-overridable for tuning.
+LANE_CHOL_MAX_K = int(os.environ.get("POLS_TPU_LANE_CHOL_MAX_K", "8"))
 # rolling refined-SM needs an exact direct pass over its first chunk (see
 # _rolling_refined_sm); that pass costs ~4K column passes over [C,K,K,G], so
 # gate it to few-group shapes (the grouped small-K regime takes lane-chol)

@@ -129,9 +129,20 @@ def _windowed_sm_scan(
         # a singular leaving-row downdate makes the propagated inverse
         # wrong from here on: skip the downdate and poison the lane so the
         # affected coefficients surface as NaN instead of silently-wrong
-        # values (the defined/min_periods mask semantics). The lane-major
-        # kernels (ops/moving.py) avoid this entirely via exact f64
-        # moments + refinement.
+        # values (the defined/min_periods mask semantics).
+        #
+        # KNOWN DIVERGENCE from the reference's NonWoodbury path (which
+        # re-solves from moments each row and so recovers once the window
+        # slides past, src/least_squares.rs:700-735): here the inverse
+        # state is unrecoverable after a singular downdate — exactly like
+        # the reference's own Woodbury path, whose 2x2 block inverse
+        # (src/least_squares.rs:629-648) is likewise unguarded. An exact
+        # reseed would need a per-row K x K factorization under vmap
+        # (where lax.cond lowers to select and BOTH branches always run),
+        # doubling the kernel's cost for a degenerate case. The lane-major
+        # kernels (ops/moving.py), which are the default wherever they
+        # apply, avoid the problem entirely via exact f64 moments +
+        # refinement and recover like the reference.
         bad = jnp.abs(den) <= 1e-12
         upd = jnp.outer(Mx2, Mx2) / jnp.where(bad, 1.0, den)
         M = jnp.where(bad, M, M + upd)

@@ -9,6 +9,7 @@ batched solves for whole-group solvers (scans, SVD).
 from .sharded import (
     fit_moments_sharded,
     make_mesh,
+    mesh_row_axes,
     shard_group_axis,
     solve_groups_sharded,
     statistics_moments_sharded,
@@ -17,6 +18,7 @@ from .sharded import (
 __all__ = [
     "fit_moments_sharded",
     "make_mesh",
+    "mesh_row_axes",
     "shard_group_axis",
     "solve_groups_sharded",
     "statistics_moments_sharded",

@@ -58,11 +58,28 @@ _COND_REFINE = 1.0e6
 
 def make_mesh(
     n_devices: Optional[int] = None,
-    axis_names: Sequence[str] = ("data",),
+    axis_names: Optional[Sequence[str]] = None,
     shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """Build a device mesh. 1-D ('data') by default; pass ``shape`` and two
-    axis names for a 2-D ('data', 'model') mesh."""
+    """Build a device mesh.
+
+    Multi-process (multi-host) runs get a 2-D ``("hosts", "chips")`` mesh by
+    construction: the outer axis enumerates processes (its collectives cross
+    DCN), the inner axis the chips local to each host (ICI). Hierarchical
+    reductions over ``("hosts", "chips")`` therefore reduce intra-host over
+    ICI first and exchange only the K x K / K-sized partial moments across
+    DCN — the communication layout SURVEY §5's distributed-backend row
+    prescribes. Single-process runs keep the flat 1-D ``("data",)`` mesh;
+    pass ``shape`` + two axis names for an explicit 2-D layout."""
+    if axis_names is None:
+        n_proc = jax.process_count()
+        if n_proc > 1 and n_devices is None and shape is None:
+            devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+            local = len(devs) // n_proc
+            return Mesh(
+                np.asarray(devs).reshape(n_proc, local), ("hosts", "chips")
+            )
+        axis_names = ("data",)
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
@@ -70,6 +87,24 @@ def make_mesh(
         shape = (len(devs),) if len(axis_names) == 1 else None
     assert shape is not None, "2-D meshes require an explicit shape"
     return Mesh(np.asarray(devs).reshape(tuple(shape)), tuple(axis_names))
+
+
+def mesh_row_axes(mesh: Mesh):
+    """The axis spec that shards the row/group dimension over EVERY device
+    of a mesh (a single name for 1-D meshes, the axis-name tuple for the
+    multi-host ('hosts', 'chips') mesh)."""
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
+
+
+def _linear_axis_index(axes, mesh: Mesh):
+    """Flat shard index over one or several mesh axes (row-major)."""
+    if isinstance(axes, str):
+        return lax.axis_index(axes)
+    idx = lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * mesh.shape[a] + lax.axis_index(a)
+    return idx
 
 
 def _mesh_size(mesh: Mesh, axes) -> int:
@@ -101,9 +136,10 @@ def fit_moments_sharded(
     gids: jnp.ndarray,  # [N] int32/int64 group ids
     num_groups: int,
     alpha: float = 0.0,
-    row_axes="data",
+    row_axes=None,
     cd_params: Optional[Tuple[float, int, float, bool]] = None,
     X_pred: Optional[jnp.ndarray] = None,
+    force_refine: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed grouped normal-equation (or covariance-form CD) fit.
 
@@ -117,6 +153,8 @@ def fit_moments_sharded(
     ``X_pred`` supplies the prediction-side features when the null policy
     makes them differ from the fit-side ones (zero-filled full rows).
     """
+    if row_axes is None:
+        row_axes = mesh_row_axes(mesh)
     n_shards = _mesh_size(mesh, row_axes)
     N, K = X.shape
     Np = -(-N // n_shards) * n_shards
@@ -160,7 +198,6 @@ def fit_moments_sharded(
             )
         else:
             A = xtx + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-            beta_local, cond_est = solve_psd_cond(A, xty)  # [Gp / n, K]
 
             def refine(b):
                 # distributed CSNE sweeps (see engine/fit.py): the residual
@@ -179,8 +216,14 @@ def fit_moments_sharded(
                     b = b + solve_psd(A, Xtr - jnp.asarray(alpha, F64) * b)
                 return b
 
-            need = lax.pmax(jnp.max(cond_est), row_axes) > _COND_REFINE
-            beta_local = lax.cond(need, refine, lambda b: b, beta_local)
+            if force_refine:
+                # explicit 'qr': unconditional CSNE sweeps so the sharded
+                # path matches the single-device CholeskyQR2-equivalent
+                beta_local = refine(solve_psd(A, xty))
+            else:
+                beta_local, cond_est = solve_psd_cond(A, xty)  # [Gp / n, K]
+                need = lax.pmax(jnp.max(cond_est), row_axes) > _COND_REFINE
+                beta_local = lax.cond(need, refine, lambda b: b, beta_local)
         beta = lax.all_gather(beta_local, row_axes, axis=0, tiled=True)
         preds = jnp.einsum("nk,nk->n", Xpl, jnp.take(beta, gl, axis=0))
         return beta, preds
@@ -197,7 +240,7 @@ def statistics_moments_sharded(
     gids: jnp.ndarray,  # [N]
     num_groups: int,
     alpha: float = 0.0,
-    row_axes="data",
+    row_axes=None,
 ):
     """Distributed mode='statistics': moments merge with psum_scatter, each
     shard solves + computes feature metrics for its 1/n slice of groups,
@@ -206,6 +249,8 @@ def statistics_moments_sharded(
     all_gathered back. Returns a dict of replicated [G(,K)] arrays."""
     from ..ops.statistics import feature_metrics
 
+    if row_axes is None:
+        row_axes = mesh_row_axes(mesh)
     n_shards = _mesh_size(mesh, row_axes)
     N, K = X.shape
     Np = -(-N // n_shards) * n_shards
@@ -256,7 +301,7 @@ def statistics_moments_sharded(
         sst = lax.psum(
             jax.ops.segment_sum(dev * dev, gl, num_segments=Gp), row_axes
         )
-        idx0 = lax.axis_index(row_axes) * (Gp // n_shards)
+        idx0 = _linear_axis_index(row_axes, mesh) * (Gp // n_shards)
         rss_s = lax.dynamic_slice_in_dim(rss, idx0, Gp // n_shards)
         counts_s = lax.dynamic_slice_in_dim(counts, idx0, Gp // n_shards)
         fm = feature_metrics(xtx_s, xty_s, rss_s, counts_s, alpha)
@@ -289,12 +334,14 @@ def statistics_moments_sharded(
 # --------------------------------------------------------------------------- #
 # group-parallel path (whole-group solvers: SVD / CD / scans)
 # --------------------------------------------------------------------------- #
-def shard_group_axis(mesh: Mesh, arrays, group_axes="data"):
+def shard_group_axis(mesh: Mesh, arrays, group_axes=None):
     """Place ``[G, ...]`` padded-group arrays with G sharded over the mesh.
 
     G is padded up to a multiple of the mesh size; callers slice results
     back to the true G. Returns (placed_arrays, true_G).
     """
+    if group_axes is None:
+        group_axes = mesh_row_axes(mesh)
     n_shards = _mesh_size(mesh, group_axes)
     G = arrays[0].shape[0]
     Gp = -(-G // n_shards) * n_shards
@@ -306,7 +353,7 @@ def shard_group_axis(mesh: Mesh, arrays, group_axes="data"):
     return placed, G
 
 
-def solve_groups_sharded(mesh: Mesh, solver, arrays, group_axes="data", **solver_kwargs):
+def solve_groups_sharded(mesh: Mesh, solver, arrays, group_axes=None, **solver_kwargs):
     """Run a batched whole-group solver with the group axis sharded.
 
     ``solver(*arrays, **solver_kwargs)`` must be vmapped/batched over the
@@ -315,6 +362,8 @@ def solve_groups_sharded(mesh: Mesh, solver, arrays, group_axes="data", **solver
     communication — the exact TPU analog of the reference's per-group rayon
     dispatch.
     """
+    if group_axes is None:
+        group_axes = mesh_row_axes(mesh)
     placed, G = shard_group_axis(mesh, arrays, group_axes)
     out_shardings = NamedSharding(mesh, P(group_axes))
     fn = jax.jit(
