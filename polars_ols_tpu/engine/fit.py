@@ -470,7 +470,8 @@ def _blocks_fit_kernel_ozaki(
 
 @partial(jax.jit, static_argnames=("num_groups", "alpha", "cd_params"))
 def _blocks_statistics_kernel(
-    Zp, wp, block_group, num_groups: int, alpha: float, cd_params=None
+    Zp, digits, scales, wp, block_group, num_groups: int, alpha: float,
+    cd_params=None,
 ):
     """All model-quality statistics from the materialized partition in ONE
     device program (the reference runs this once per group on the host;
@@ -486,7 +487,15 @@ def _blocks_statistics_kernel(
     recompute of src/statistics.rs:116."""
     K = Zp.shape[-1] - 1
     yp, Xp = Zp[..., 0], Zp[..., 1:]
-    XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
+    if digits is not None:
+        # reuse the cached int8 digit planes: the f64 moment einsum lowers
+        # to the emulated-f64 MXU (~10x the int8 path's cost)
+        from ..ops.ozaki import moments_from_digits
+
+        M, counts = moments_from_digits(digits, scales, wp, block_group, num_groups)
+        XtX, Xty = M[:, 1:, 1:], M[:, 1:, 0]
+    else:
+        XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
     wf = wp.astype(F64)
     seg = lambda v: jax.ops.segment_sum(v, block_group, num_segments=num_groups)
     n_safe = jnp.maximum(counts, 1.0)
@@ -545,10 +554,10 @@ def _statistics_blocks(layout, vals, valid, policy, kwargs, names, layout_in,
     """Fast statistics path: cached partition + one fused kernel; no host
     work scales with the group count — the output stays a device-native
     statistics struct column."""
-    Zp, wp, _, block_group, _, _ = _blocks_cached(layout, vals, valid, policy)
+    Zp, wp, _, block_group, digits, scales = _blocks_cached(layout, vals, valid, policy)
     out = _blocks_statistics_kernel(
-        Zp, wp, block_group, layout.num_groups, float(kwargs.alpha or 0.0),
-        cd_params,
+        Zp, digits, scales, wp, block_group, layout.num_groups,
+        float(kwargs.alpha or 0.0), cd_params,
     )
     return _statistics_series(out, names, layout, layout_in)
 

@@ -48,8 +48,13 @@ F64 = jnp.float64
 F32 = jnp.float32
 
 # unrolled lane-Cholesky op count grows ~K^3/6; above this K the refined-SM
-# formulation wins (and compiles in sane time). Env-overridable for tuning.
-LANE_CHOL_MAX_K = int(os.environ.get("POLS_TPU_LANE_CHOL_MAX_K", "8"))
+# formulation wins (and compiles in sane time). Measured on the TPU backend
+# at the grouped config (G=10k, R=232): K=12 155-194 ms, K=16 257-287 ms —
+# ~1.5x the K=5 time, so the exact unrolled kernel now covers K <= 16
+# (grouped rolling/RLS at K in 9..16 previously fell back to the slow
+# classic kernels). Compile cost is 1-4 min per shape, one-time.
+# Env-overridable for tuning.
+LANE_CHOL_MAX_K = int(os.environ.get("POLS_TPU_LANE_CHOL_MAX_K", "16"))
 # rolling refined-SM needs an exact direct pass over its first chunk (see
 # _rolling_refined_sm); that pass costs ~4K column passes over [C,K,K,G], so
 # gate it to few-group shapes (the grouped small-K regime takes lane-chol)

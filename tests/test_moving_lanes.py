@@ -156,6 +156,45 @@ def test_rolling_lane_chol_grouped(positional, alpha):
         np.testing.assert_allclose(out[g], expected, rtol=tol, atol=tol, equal_nan=True)
 
 
+def test_rls_lane_chol_grouped_midk():
+    """K in 9..16 grouped moving models now take the exact unrolled
+    lane-chol (round-3 gate raise: LANE_CHOL_MAX_K 8 -> 16); previously
+    this shape fell back to the slow classic kernels."""
+    G, R, K = 70, 60, 12
+    X, y, v = _make_groups(G, R, K, null_frac=0.1, seed=6)
+    out = np.asarray(
+        solve_recursive_lanes(
+            jnp.asarray(X), jnp.asarray(y), jnp.asarray(v),
+            half_life=25.0, initial_state_covariance=10.0,
+            initial_state_mean=None,
+        )
+    )
+    ff = np.exp(np.log(0.5) / 25.0)
+    for g in (0, G - 1):
+        expected = _kalman_oracle(X[g], y[g], v[g], ff, 10.0)
+        np.testing.assert_allclose(out[g], expected, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("positional", [True, False])
+def test_rolling_lane_chol_grouped_midk(positional):
+    G, R, K = 70, 80, 12
+    W, MP = 40, 14
+    X, y, v = _make_groups(G, R, K, null_frac=0.1, seed=7)
+    out = np.asarray(
+        solve_rolling_lanes(
+            jnp.asarray(X), jnp.asarray(y), jnp.asarray(v),
+            window=W, min_periods=MP, alpha=0.0, positional=positional,
+        )
+    )
+    for g in (0, G - 1):
+        expected = _window_oracle(X[g], y[g], v[g], W, MP, 0.0, positional)
+        if positional:
+            expected = _ffill(expected)
+        np.testing.assert_allclose(
+            out[g], expected, rtol=2e-5, atol=2e-5, equal_nan=True
+        )
+
+
 # --------------------------------------------------------------------------- #
 # engine parity: lane kernels vs the classic kernels through the full API
 # --------------------------------------------------------------------------- #
