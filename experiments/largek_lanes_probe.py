@@ -43,7 +43,9 @@ def timeit(name, fn, reps=3):
 def main():
     print("devices:", jax.devices())
     rng = np.random.default_rng(0)
-    for K in (12, 16):
+    import sys
+    ks = tuple(int(a) for a in sys.argv[1:]) or (12, 16)
+    for K in ks:
         G, R = 10_000, 232  # ~2.3M rows over 10k groups (grouped config shape)
         Xp = jnp.asarray(rng.normal(size=(G, R, K)))
         yp = jnp.asarray(rng.normal(size=(G, R)))

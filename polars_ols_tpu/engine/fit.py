@@ -380,10 +380,10 @@ def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None,
             lambda b: b,
             beta,
         )
-    l1_ratio, max_iter, tol, positive = cd_params
+    l1_ratio, max_iter, tol, positive, active_set = cd_params
     return solve_elastic_net_cov(
         XtX, Xty, counts, alpha=alpha, l1_ratio=l1_ratio,
-        max_iter=max_iter, tol=tol, positive=positive,
+        max_iter=max_iter, tol=tol, positive=positive, active_set=active_set,
     )
 
 
@@ -504,10 +504,11 @@ def _blocks_statistics_kernel(
     sst = seg((((yp - mean_b[:, None]) * wf) ** 2).sum(axis=1))
 
     if cd_params is not None:
-        l1_ratio, max_iter, tol, positive = cd_params
+        l1_ratio, max_iter, tol, positive, active_set = cd_params
         beta = solve_elastic_net_cov(
             XtX, Xty, counts, alpha=alpha, l1_ratio=l1_ratio,
             max_iter=max_iter, tol=tol, positive=positive,
+            active_set=active_set,
         )
     else:
         A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
@@ -811,7 +812,7 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
             )
         A = jnp.asarray(float(alpha), F64) * jnp.eye(k, dtype=F64) + XtX
         return solve_psd(A, Xty)
-    if method == "cd":
+    if method in ("cd", "cd_active_set"):
         # covariance-form CD: one moment pass, then O(K) coordinate steps
         XtX, Xty, counts = _moments(layout, problem.X, problem.y, problem.fit_mask)
         return solve_elastic_net_cov(
@@ -823,6 +824,7 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
             max_iter=int(kwargs.max_iter or 1000),
             tol=float(kwargs.tol if kwargs.tol is not None else 1e-5),
             positive=positive,
+            active_set=method == "cd_active_set",
         )
     (Xp, yp), wp = _pad_rows(layout, [problem.X, problem.y], problem.fit_mask)
     n_valid = wp.sum(axis=1)
@@ -1035,15 +1037,16 @@ def evaluate_least_squares(
             and n > k
             and mode != "statistics"
         )
-        if method in ("chol", "lu", "cd", "qr") or svd_single:
+        if method in ("chol", "lu", "cd", "cd_active_set", "qr") or svd_single:
             force_refine = method in ("qr", "svd")
             cd_params = None
-            if method == "cd":
+            if method in ("cd", "cd_active_set"):
                 cd_params = (
                     float(0.5 if kwargs.l1_ratio is None else kwargs.l1_ratio),
                     int(kwargs.max_iter or 1000),
                     float(kwargs.tol if kwargs.tol is not None else 1e-5),
                     bool(kwargs.positive),
+                    method == "cd_active_set",
                 )
             inv_w = None
             if weights is not None:

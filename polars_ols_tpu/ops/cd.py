@@ -10,10 +10,11 @@ cyclic with naive residual add-back/subtract (:423-434) and convergence is
 TPU formulation: a `lax.while_loop` over sweeps containing a `lax.fori_loop`
 over coordinates, vmapped over the group axis. Excluded rows arrive zeroed so
 they contribute nothing to any inner product. The `cd_active_set` variant of
-the reference (:447-488) is an approximation that freezes |w_j| < tol
-coordinates; we run full cyclic CD for both (same fixed point, tighter
-accuracy) — the active-set method exists in the reference purely as a CPU
-optimisation.
+the reference (:447-488) permanently removes a coordinate from the sweep the
+first time its update lands below ``tol`` in absolute value; here the same
+iterate sequence is reproduced with a frozen-coordinate mask (removal is a
+CPU work-saving device — on a vector machine every lane runs either way, so
+the mask costs nothing and preserves the reference's exact update order).
 """
 
 from __future__ import annotations
@@ -88,6 +89,7 @@ def _cd_cov_single(
     max_iter: int,
     tol: float,
     positive: bool,
+    active_set: bool = False,
 ) -> jnp.ndarray:
     K = XtX.shape[0]
     a = alpha * jnp.maximum(n_valid, 1.0)
@@ -95,24 +97,34 @@ def _cd_cov_single(
     a_l2 = a * (1.0 - l1_ratio)
     diag = jnp.diagonal(XtX)
 
-    def coord_body(j, w):
+    def coord_body(j, carry):
+        w, active = carry
         # x_j^T r + XtX_jj w_j  ==  Xty_j - (XtX w)_j + XtX_jj w_j
         rho = Xty[j] - jnp.dot(XtX[j], w) + diag[j] * w[j]
         denom = diag[j] + a_l2
         w_j = _soft_threshold(rho, a_l1, positive) / jnp.where(denom > 0, denom, 1.0)
-        return w.at[j].set(w_j)
+        if active_set:
+            # frozen coordinates keep their last value; a coordinate whose
+            # update lands below tol is removed from every later sweep
+            # (reference src/least_squares.rs:459-477)
+            w_j = jnp.where(active[j], w_j, w[j])
+            active = active.at[j].set(active[j] & (jnp.abs(w_j) >= tol))
+        return w.at[j].set(w_j), active
 
     def sweep(state):
-        w, it, _ = state
-        w_new = lax.fori_loop(0, K, coord_body, w)
-        return w_new, it + 1, jnp.linalg.norm(w_new - w)
+        w, active, it, _ = state
+        w_new, active = lax.fori_loop(0, K, coord_body, (w, active))
+        return w_new, active, it + 1, jnp.linalg.norm(w_new - w)
 
     def cond(state):
-        _, it, delta = state
+        _, _, it, delta = state
         return (it < max_iter) & (delta >= tol)
 
     w0 = jnp.zeros(K, dtype=F64)
-    w, _, _ = lax.while_loop(cond, sweep, (w0, jnp.int32(0), jnp.asarray(jnp.inf, F64)))
+    active0 = jnp.ones(K, dtype=bool)
+    w, _, _, _ = lax.while_loop(
+        cond, sweep, (w0, active0, jnp.int32(0), jnp.asarray(jnp.inf, F64))
+    )
     return w
 
 
@@ -201,7 +213,12 @@ def _cd_cov_single_fista(
     return w
 
 
-@partial(jax.jit, static_argnames=("alpha", "l1_ratio", "max_iter", "tol", "positive"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "alpha", "l1_ratio", "max_iter", "tol", "positive", "active_set",
+    ),
+)
 def solve_elastic_net_cov(
     XtX: jnp.ndarray,  # [G, K, K]
     Xty: jnp.ndarray,  # [G, K]
@@ -211,6 +228,7 @@ def solve_elastic_net_cov(
     max_iter: int = 1000,
     tol: float = 1e-5,
     positive: bool = False,
+    active_set: bool = False,
 ) -> jnp.ndarray:
     """Covariance-form cyclic coordinate descent on precomputed moments.
 
@@ -225,8 +243,15 @@ def solve_elastic_net_cov(
     Above ``_FISTA_MIN_K`` features the sequential K-step sweeps give way to
     accelerated proximal-gradient iterations (same fixed point, CD-polished;
     see `_cd_cov_single_fista`) — at K=100 the cyclic sweep spends its time
-    in per-coordinate op dispatch, not math."""
-    single = _cd_cov_single if XtX.shape[-1] < _FISTA_MIN_K else _cd_cov_single_fista
+    in per-coordinate op dispatch, not math. ``active_set`` always runs the
+    cyclic form (the reference's active-set variant is defined by its
+    coordinate update order, src/least_squares.rs:447-488)."""
+    if active_set:
+        single = partial(_cd_cov_single, active_set=True)
+    elif XtX.shape[-1] < _FISTA_MIN_K:
+        single = _cd_cov_single
+    else:
+        single = _cd_cov_single_fista
     fn = partial(
         single,
         alpha=alpha,

@@ -76,11 +76,11 @@ def resolve_solve_method(
     if positive or l1 > 0.0:
         m = solve_method or "cd"
         assert m in ("cd", "cd_active_set"), m
-        return "cd"
+        return m
     if alpha > 0.0:  # ridge
         m = solve_method or "chol"
         assert m in ("chol", "lu", "svd", "cd", "cd_active_set", "qr"), m
-        return "cd" if m in ("cd", "cd_active_set") else m
+        return m
     m = solve_method
     if m is None:
         # overdetermined auto-dispatch -> fused normal-equation path (the

@@ -47,14 +47,21 @@ from jax import lax
 F64 = jnp.float64
 F32 = jnp.float32
 
-# unrolled lane-Cholesky op count grows ~K^3/6; above this K the refined-SM
-# formulation wins (and compiles in sane time). Measured on the TPU backend
-# at the grouped config (G=10k, R=232): K=12 155-194 ms, K=16 257-287 ms —
-# ~1.5x the K=5 time, so the exact unrolled kernel now covers K <= 16
-# (grouped rolling/RLS at K in 9..16 previously fell back to the slow
-# classic kernels). Compile cost is 1-4 min per shape, one-time.
-# Env-overridable for tuning.
-LANE_CHOL_MAX_K = int(os.environ.get("POLS_TPU_LANE_CHOL_MAX_K", "16"))
+# unrolled lane-Cholesky op count grows ~K^3/6; above this K the column-pass
+# variant (~11K ops on shrinking submatrix slices) takes over. Measured on
+# the TPU backend at the grouped config (G=10k, R=232): K=12 155-194 ms,
+# K=16 257-287 ms — ~1.5x the K=5 time. Compile cost is 1-4 min per shape,
+# one-time. Env-overridable for tuning.
+LANE_CHOL_UNROLL_MAX_K = int(os.environ.get("POLS_TPU_LANE_CHOL_UNROLL_MAX_K", "16"))
+# above the unroll cutoff the column-pass lane Cholesky covers K up to this
+# bound (the reference's Woodbury rolling covers every K uniformly,
+# src/least_squares.rs:848-1032; beyond it the refined-SM / classic kernels
+# take over). Chunk temporaries are [C, K, K, G] f64, so the applicability
+# check also bounds memory.
+LANE_CHOL_MAX_K = int(os.environ.get("POLS_TPU_LANE_CHOL_MAX_K", "32"))
+# cap on the [C, K, K, G] f64 chunk temporaries for the column-pass tier
+# (the backend compiles ~370 MB at K=24/G=10k; beyond ~0.7 GB is untested)
+_LANE_CHOL_TEMP_BYTES = 768 * 1024 * 1024
 # rolling refined-SM needs an exact direct pass over its first chunk (see
 # _rolling_refined_sm); that pass costs ~4K column passes over [C,K,K,G], so
 # gate it to few-group shapes (the grouped small-K regime takes lane-chol)
@@ -89,7 +96,12 @@ def _sm_chunk(R: int, ln_inv_ff: float = 0.0) -> int:
 
 
 def _use_lane_chol(K: int, G: int) -> bool:
-    return K <= LANE_CHOL_MAX_K
+    if K <= LANE_CHOL_UNROLL_MAX_K:
+        return True
+    if K > LANE_CHOL_MAX_K:
+        return False
+    # column-pass tier: chunk temporaries [C, K, K, G] f64 must fit
+    return _chol_chunk(K, G) * K * K * G * 8 <= _LANE_CHOL_TEMP_BYTES
 
 
 def lanes_applicable(
@@ -111,14 +123,53 @@ def lanes_applicable(
 # --------------------------------------------------------------------------- #
 # unrolled lane Cholesky (ops elementwise over [..., G] lanes)
 # --------------------------------------------------------------------------- #
+def _lane_chol_solve_colpass(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Column-pass right-looking variant of `_lane_chol_solve` for mid-K
+    (17..32): ~11K ops on shrinking [..., K-j, G] submatrix slices instead
+    of the fully unrolled ~K^3/6 scalar-lane ops (which stop paying for
+    themselves past K~16 on a backend with per-op launch cost). Same
+    contract: exact f64, NaN lanes on non-PD systems."""
+    K = A.shape[-3]
+    S = A
+    inv_d = []  # [..., G] reciprocal diagonal of L, per column
+    cols = []  # [..., K-1-j, G] subdiagonal of L column j
+    for j in range(K):
+        d = jnp.sqrt(S[..., 0, 0, :])
+        dj = 1.0 / d
+        col = S[..., 1:, 0, :] * dj[..., None, :]
+        inv_d.append(dj)
+        cols.append(col)
+        if j < K - 1:
+            S = S[..., 1:, 1:, :] - col[..., :, None, :] * col[..., None, :, :]
+    # forward substitution L z = b, column-oriented
+    z = []
+    rem = b
+    for j in range(K):
+        zj = rem[..., 0, :] * inv_d[j]
+        z.append(zj)
+        if j < K - 1:
+            rem = rem[..., 1:, :] - cols[j] * zj[..., None, :]
+    # back substitution L^T x = z: x_j = (z_j - cols[j] . x_{j+1:}) / d_j
+    x = [None] * K
+    for j in range(K - 1, -1, -1):
+        s = z[j]
+        if j < K - 1:
+            tail = jnp.stack(x[j + 1 :], axis=-2)  # [..., K-1-j, G]
+            s = s - (cols[j] * tail).sum(axis=-2)
+        x[j] = s * inv_d[j]
+    return jnp.stack(x, axis=-2)  # [..., K, G]
+
+
 def _lane_chol_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b with A [..., K, K, G] PD and b [..., K, G].
 
     Fully unrolled over K: every op is elementwise on [..., G]-shaped
     arrays, so the lane axis G fills the VPU. Non-PD lanes produce NaN
     (callers mask undefined rows; regularized systems are PD by
-    construction)."""
+    construction). Mid-K systems route to the column-pass variant."""
     K = A.shape[-3]
+    if K > LANE_CHOL_UNROLL_MAX_K:
+        return _lane_chol_solve_colpass(A, b)
     a = [[A[..., i, j, :] for j in range(i + 1)] for i in range(K)]
     L = [[None] * (i + 1) for i in range(K)]
     inv_d = [None] * K

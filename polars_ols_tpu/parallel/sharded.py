@@ -191,10 +191,12 @@ def fit_moments_sharded(
             from ..ops.cd import solve_elastic_net_cov
 
             counts = lax.psum_scatter(counts, row_axes, scatter_dimension=0, tiled=True)
-            l1_ratio, max_iter, tol, positive = cd_params
+            l1_ratio, max_iter, tol, positive = cd_params[:4]
+            active_set = bool(cd_params[4]) if len(cd_params) > 4 else False
             beta_local = solve_elastic_net_cov(
                 xtx, xty, counts, alpha=alpha, l1_ratio=l1_ratio,
                 max_iter=max_iter, tol=tol, positive=positive,
+                active_set=active_set,
             )
         else:
             A = xtx + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)

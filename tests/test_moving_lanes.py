@@ -175,6 +175,44 @@ def test_rls_lane_chol_grouped_midk():
         np.testing.assert_allclose(out[g], expected, rtol=1e-6, atol=1e-8)
 
 
+def test_rls_lane_chol_grouped_colpass():
+    """K in 17..32 grouped moving models take the column-pass lane-chol
+    tier (exact f64 per-row solves on shrinking submatrix slices)."""
+    G, R, K = 40, 70, 24
+    X, y, v = _make_groups(G, R, K, null_frac=0.1, seed=8)
+    out = np.asarray(
+        solve_recursive_lanes(
+            jnp.asarray(X), jnp.asarray(y), jnp.asarray(v),
+            half_life=30.0, initial_state_covariance=10.0,
+            initial_state_mean=None,
+        )
+    )
+    ff = np.exp(np.log(0.5) / 30.0)
+    for g in (0, G - 1):
+        expected = _kalman_oracle(X[g], y[g], v[g], ff, 10.0)
+        np.testing.assert_allclose(out[g], expected, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("positional", [True, False])
+def test_rolling_lane_chol_grouped_colpass(positional):
+    G, R, K = 40, 90, 20
+    W, MP = 50, 22
+    X, y, v = _make_groups(G, R, K, null_frac=0.1, seed=9)
+    out = np.asarray(
+        solve_rolling_lanes(
+            jnp.asarray(X), jnp.asarray(y), jnp.asarray(v),
+            window=W, min_periods=MP, alpha=0.0, positional=positional,
+        )
+    )
+    for g in (0, G - 1):
+        expected = _window_oracle(X[g], y[g], v[g], W, MP, 0.0, positional)
+        if positional:
+            expected = _ffill(expected)
+        np.testing.assert_allclose(
+            out[g], expected, rtol=2e-5, atol=2e-5, equal_nan=True
+        )
+
+
 @pytest.mark.parametrize("positional", [True, False])
 def test_rolling_lane_chol_grouped_midk(positional):
     G, R, K = 70, 80, 12

@@ -381,6 +381,55 @@ def test_elastic_net(n_features, sparsity, alpha, solve_method):
     assert np.allclose(predictions_1, predictions_2, rtol=1e-4, atol=1e-4)
 
 
+def test_elastic_net_active_set_iterates():
+    """solve_method='cd_active_set' reproduces the reference's active-set
+    iterate sequence (src/least_squares.rs:447-488): a coordinate whose
+    update lands below tol is permanently frozen at that value — distinct
+    from plain cyclic CD, which keeps re-updating it. Oracle: a direct
+    numpy re-implementation of the reference loop."""
+    alpha, l1_ratio, tol, max_iter = 0.3, 0.9, 1e-3, 200
+    df = _make_data(n_features=12, sparsity=0.6)
+    features = [c for c in df.columns if c != "y"]
+    x, y = _xy(df, features)
+
+    n, K = x.shape
+    a = alpha * n
+    al1, al2 = a * l1_ratio, a * (1.0 - l1_ratio)
+    xtx, xty = x.T @ x, x.T @ y
+    w = np.zeros(K)
+    active = set(range(K))
+    for _ in range(max_iter):
+        w_old = w.copy()
+        for j in range(K):
+            if j not in active:
+                continue
+            rho = xty[j] - xtx[j] @ w + xtx[j, j] * w[j]
+            wj = np.sign(rho) * max(abs(rho) - al1, 0.0) / (xtx[j, j] + al2)
+            w[j] = wj
+            if abs(wj) < tol:
+                active.discard(j)
+        if np.linalg.norm(w - w_old) < tol:
+            break
+
+    got = (
+        df.select(
+            col("y").least_squares.elastic_net(
+                *[col(f) for f in features],
+                mode="coefficients",
+                l1_ratio=l1_ratio,
+                alpha=alpha,
+                max_iter=max_iter,
+                tol=tol,
+                solve_method="cd_active_set",
+            )
+        )["coefficients"]
+        .to_numpy()[0]
+    )
+    # nulls in the struct encode exact zeros as NaN -> treat as 0
+    got = np.nan_to_num(got)
+    np.testing.assert_allclose(got, w, rtol=1e-8, atol=1e-10)
+
+
 def test_elastic_net_non_negative():
     from sklearn.linear_model import ElasticNet
 
