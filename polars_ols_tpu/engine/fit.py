@@ -1477,7 +1477,13 @@ def evaluate_predict(coef, feat_series: List[Series], null_policy: str, name: st
     X = jnp.stack([jnp.asarray(s.values, dtype=F64) for s in feat_series], axis=1)
     xv = jnp.stack([s.valid_mask() for s in feat_series], axis=1)
     Xp = jnp.where(xv, X, jnp.nan if null_policy == "ignore" else 0.0)
-    preds = jnp.einsum("nk,nk->n", Xp, coef.values)
+    # null coefficient entries (e.g. unmatched left-join rows) are NaN in
+    # the reference's unnest -> to_ndarray conversion, so their predictions
+    # come out NaN (src/expressions.rs:726-729)
+    coefv = coef.values
+    if coef.validity is not None:
+        coefv = jnp.where(coef.validity, coefv, jnp.nan)
+    preds = jnp.einsum("nk,nk->n", Xp, coefv)
     validity = None
     if null_policy == "drop":
         validity = xv.all(axis=1) & coef.valid_mask()

@@ -64,6 +64,43 @@ class Expr:
     def __neg__(self):
         return UnaryExpr("neg", self)
 
+    # ---- comparisons & boolean algebra (filter predicates) ---- #
+    # defining __eq__ would clear __hash__; expressions are identity-hashed
+    __hash__ = object.__hash__
+
+    def __gt__(self, other):
+        return self._binop(other, "gt")
+
+    def __ge__(self, other):
+        return self._binop(other, "ge")
+
+    def __lt__(self, other):
+        return self._binop(other, "lt")
+
+    def __le__(self, other):
+        return self._binop(other, "le")
+
+    def __eq__(self, other):  # noqa: PLW0177 - polars-style expression eq
+        return self._binop(other, "eq")
+
+    def __ne__(self, other):
+        return self._binop(other, "ne")
+
+    def __and__(self, other):
+        return self._binop(other, "and")
+
+    def __rand__(self, other):
+        return self._binop(other, "and", True)
+
+    def __or__(self, other):
+        return self._binop(other, "or")
+
+    def __ror__(self, other):
+        return self._binop(other, "or", True)
+
+    def __invert__(self):
+        return UnaryExpr("not", self)
+
     def add(self, other):
         return self.__add__(other)
 
@@ -312,6 +349,8 @@ class UnaryExpr(Expr):
             out = jnp.sqrt(vals)
         elif self.op == "abs":
             out = jnp.abs(vals)
+        elif self.op == "not":
+            out = jnp.where(vals != 0.0, 0.0, 1.0)
         else:  # pragma: no cover
             raise ValueError(self.op)
         return Series(s.name, out, s.validity)
@@ -599,6 +638,20 @@ def _binop_series(op: str, l, r):
         out = lv * rv
     elif op == "div":
         out = lv / rv
+    elif op in ("gt", "ge", "lt", "le", "eq", "ne", "and", "or"):
+        # comparisons / boolean algebra as 0/1 floats (filter casts to
+        # bool); null operands yield null like polars' non-Kleene ops
+        cmp = {
+            "gt": lambda a, b: a > b,
+            "ge": lambda a, b: a >= b,
+            "lt": lambda a, b: a < b,
+            "le": lambda a, b: a <= b,
+            "eq": lambda a, b: a == b,
+            "ne": lambda a, b: a != b,
+            "and": lambda a, b: (a != 0.0) & (b != 0.0),
+            "or": lambda a, b: (a != 0.0) | (b != 0.0),
+        }[op](lv, rv)
+        out = cmp.astype(jnp.float64)
     else:  # pragma: no cover
         raise ValueError(op)
     name = l.name if l.name != "literal" else r.name

@@ -39,6 +39,56 @@ def test_join_left_nulls_unmatched():
     np.testing.assert_allclose(out["a"].to_numpy(), [10.0, 20.0, 30.0])
 
 
+def test_join_left_struct_unmatched_and_empty_right():
+    """Left-join null semantics for non-Series right columns: unmatched keys
+    take null struct rows (not right row 0's values), and joining against an
+    empty right frame yields all-null right columns instead of raising."""
+    rng = np.random.default_rng(5)
+    n = 200
+    train = pot.DataFrame(
+        {
+            "g": np.repeat([1.0, 3.0], n // 2),
+            "x": rng.normal(size=n),
+            "y": rng.normal(size=n),
+        }
+    )
+    coefs = train.select(
+        "g",
+        pot.col("y").least_squares.ols(pot.col("x"), mode="coefficients").over("g"),
+    ).unique()
+    test = pot.DataFrame({"g": [1.0, 2.0, 3.0]})
+    out = test.join(coefs, on="g", how="left")
+    vals = out["coefficients"].to_numpy()
+    assert np.isfinite(vals[0]).all() and np.isfinite(vals[2]).all()
+    assert np.isnan(vals[1]).all()  # unmatched key -> null struct row
+
+    empty = coefs.filter(pot.col("g") > 99.0)
+    out2 = test.join(empty, on="g", how="left")
+    assert out2.height == 3
+    assert np.isnan(out2["coefficients"].to_numpy()).all()
+
+
+def test_expr_comparisons_and_boolean_algebra():
+    """polars-style filter predicates: comparisons yield null on null
+    operands; & | ~ compose; filter drops null-predicate rows."""
+    df = pot.DataFrame(
+        {
+            "a": pot.Series("a", [1.0, 2.0, 0.0, 4.0], [True, True, False, True]),
+            "b": [3.0, 1.0, 5.0, 4.0],
+        }
+    )
+    c = pot.col
+    out = df.filter(c("a") > c("b"))
+    np.testing.assert_allclose(out["a"].to_numpy(), [2.0])
+    out = df.filter((c("a") >= 1.0) & (c("b") <= 3.0))
+    np.testing.assert_allclose(out["b"].to_numpy(), [3.0, 1.0])
+    out = df.filter(~(c("b") < 4.0))  # null 'a' row kept: predicate on b only
+    np.testing.assert_allclose(out["b"].to_numpy(), [5.0, 4.0])
+    out = df.filter((c("a") == 4.0) | (c("b") == 3.0))
+    np.testing.assert_allclose(out["b"].to_numpy(), [3.0, 4.0])
+    assert df.filter(c("a") != c("a")).height == 0
+
+
 def test_group_by_agg_reductions():
     rng = np.random.default_rng(1)
     n = 1_000

@@ -793,6 +793,39 @@ def test_predict():
     assert np.allclose(predictions, expected)
 
 
+def test_predict_null_coefficients_left_join():
+    """Unmatched left-join rows carry null coefficient structs; predict
+    yields NaN for them (the reference's unnest -> to_ndarray turns null
+    fields into NaN, src/expressions.rs:726-729) and masks them to null
+    under null_policy='drop'."""
+    df = _make_data(n_groups=4)
+    coefs = (
+        df.filter(col("group") != 3.0)
+        .select(
+            "group",
+            col("y").least_squares.ols(col("x1"), col("x2"), mode="coefficients").over("group"),
+        )
+        .unique()
+    )
+    joined = df.join(coefs, on="group", how="left")
+    g = joined["group"].to_numpy()
+    preds = joined.select(
+        col("coefficients").least_squares.predict(col("x1"), col("x2"), name="p")
+    )["p"]
+    vals = preds.to_numpy()
+    assert np.isnan(vals[g == 3.0]).all()
+    assert np.isfinite(vals[g != 3.0]).all()
+
+    dropped = joined.select(
+        col("coefficients").least_squares.predict(
+            col("x1"), col("x2"), name="p", null_policy="drop"
+        )
+    )["p"]
+    assert dropped.validity is not None
+    keep = np.asarray(dropped.validity)
+    assert (~keep[g == 3.0]).all() and keep[g != 3.0].all()
+
+
 def test_predict_intercept():
     df = pot.DataFrame(
         {"y": [1.0, 2, 3, 4], "x1": [3.0, 4, 5, 6], "x2": [4.0, 5, 6, 7], "x3": [5.0, 6, 7, 8]}
