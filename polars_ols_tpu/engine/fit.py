@@ -839,6 +839,24 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
         # grouped explicit SVD: lane-major Householder + one-sided Jacobi
         # (exact to ~1e-14; the batched SVD custom call costs 20x more)
         return _svd_lanes_jit(Xp, yp, float(alpha), kwargs.rcond, n_valid)
+    if (
+        CONFIG.auto_shard
+        and jax.device_count() > 1
+        and layout.num_groups >= jax.device_count()
+    ):
+        # whole-group row-space solves (incl. multi-target's shared-SVD,
+        # src/least_squares.rs:243-260) are embarrassingly group-parallel:
+        # shard the padded group batch over the mesh, zero collectives
+        from ..parallel import make_mesh, solve_groups_sharded
+
+        return solve_groups_sharded(
+            make_mesh(),
+            _rows_solver,
+            (Xp, yp, n_valid),
+            alpha=float(alpha),
+            method=method,
+            rcond=kwargs.rcond,
+        )
     return solve_from_rows(Xp, yp, float(alpha), method, kwargs.rcond, n_valid)
 
 
@@ -847,6 +865,12 @@ def _svd_lanes_jit(Xp, yp, alpha: float, rcond, n_valid=None):
     from ..ops.linalg import svd_lstsq_lanes
 
     return svd_lstsq_lanes(Xp, yp, alpha=alpha, rcond=rcond, n_valid=n_valid)
+
+
+def _rows_solver(Xp, yp, n_valid, alpha: float, method: str, rcond):
+    """Keyword-friendly adapter over `solve_from_rows` for the group-sharded
+    dispatch (solve_groups_sharded passes batch arrays positionally)."""
+    return solve_from_rows(Xp, yp, alpha, method, rcond, n_valid)
 
 
 @partial(

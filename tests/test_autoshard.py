@@ -68,6 +68,36 @@ def test_family_sharded_matches_single_device(name, expr, nulls):
     )
 
 
+def test_sharded_multi_target():
+    """Multi-target fits (struct target, shared factorization) shard the
+    group batch axis — parity with the single-device engine output."""
+    rng = np.random.default_rng(7)
+    n, G = 4_000, 64
+    x1, x2 = rng.normal(size=n), rng.normal(size=n)
+    y1 = x1 - x2 + rng.normal(size=n) * 0.1
+    y2 = 2.0 * x1 + x2 + rng.normal(size=n) * 0.1
+    df = pot.DataFrame(
+        {
+            "x1": x1, "x2": x2, "y1": y1, "y2": y2,
+            "g": rng.integers(G, size=n).astype(float),
+        }
+    )
+    expr = (
+        pot.struct(col("y1"), col("y2"))
+        .least_squares.multi_target_ols(col("x1"), col("x2"))
+        .over("g")
+        .alias("preds")
+    )
+    outs = []
+    for shard in (False, True):
+        CONFIG.auto_shard = shard
+        try:
+            outs.append(df.select(expr)["preds"].to_numpy())
+        finally:
+            CONFIG.auto_shard = False
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-10, atol=1e-12)
+
+
 def test_sharded_coefficients_and_statistics():
     df = _frame()
     CONFIG.auto_shard = True
