@@ -42,10 +42,22 @@ def _make_df(n: int, k: int, n_groups=None, seed=0):
     x = rng.normal(size=(n, k))
     y = x.sum(axis=1) + rng.normal(size=n, scale=0.1)
     data = {"y": y, **{f"x{i+1}": x[:, i] for i in range(k)}}
+    data["y2"] = x @ rng.normal(size=k) + rng.normal(size=n, scale=0.1)
     data["w"] = rng.random(n) + 0.1
     if n_groups:
         data["g"] = rng.integers(n_groups, size=n).astype(float)
     return pls.DataFrame(data)
+
+
+def _sync(out):
+    """Force + fetch a tail slice of the query output (a full-output fetch
+    would measure the ~35 ms/MB tunnel, not the device program)."""
+    vals = getattr(out, "values", None)
+    if vals is None:  # StatisticsSeries: fetch a slice of every field
+        for arr in out.arrays.values():
+            np.asarray(arr[-2:])
+        return
+    np.asarray(vals[-2:])
 
 
 def _time(fn, reps=7):
@@ -58,7 +70,7 @@ def _time(fn, reps=7):
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn()
-        np.asarray(out.values[-2:])  # sync without a full-output fetch
+        _sync(out)
         times.append(time.perf_counter() - t0)
     arr = np.sort(np.asarray(times))
     q1, q3 = np.percentile(arr, [25, 75])
@@ -88,6 +100,15 @@ def _queries(df, k: int, grouped: bool):
         out["ols_qr_explicit"] = lambda: df.select(
             over(ls.ols(*feats, solve_method="qr"))
         )["y"]
+        out["statistics"] = lambda: df.select(
+            over(ls.ols(*feats, mode="statistics")).alias("s")
+        )["s"]
+        out["multi_target"] = lambda: df.select(
+            over(
+                pls.struct(col("y"), col("y2"))
+                .least_squares.multi_target_ols(*feats)
+            ).alias("m")
+        )["m"]
     return out
 
 
