@@ -53,6 +53,12 @@ class Config:
         # row order on first full-column access (~5 ns/element gather —
         # 44 ms at 8M rows — that reductions/slices never need)
         self.lazy_row_order = bool(int(os.environ.get("POLS_TPU_LAZY", "1")))
+        # materialized grouped predictions: compute row-order output
+        # directly from the cached [N, 1+K] row stack (K tiny-table beta
+        # gathers + K fmas, exact f64) instead of permuting the block-layout
+        # output with an [N] gather. Off until measured faster on the
+        # target backend (experiments/gather_probe.py "rowspace" variant).
+        self.row_epilogue = bool(int(os.environ.get("POLS_TPU_ROW_EPILOGUE", "0")))
         # route grouped fits through the mesh-sharded engine
         # (parallel/sharded.py): rows stay in place, partial moments
         # psum_scatter-merge across shards; moving models shard the group

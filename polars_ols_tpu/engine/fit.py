@@ -267,6 +267,19 @@ def _block_preds(Xp, beta_blocks):
     return acc
 
 
+def _row_preds(vals_row, beta, gids):
+    """Row-order predictions straight from the cached [N, 1+K] row stack:
+    K tiny-table gathers (beta columns, [G] f64 — VMEM-resident) plus K
+    fused multiply-adds. No permutation out of the block layout at all,
+    and exact f64 (the pair-gather unpad reconstructs to 2^-48). Valid only
+    when the predict features equal the raw stack (no null masking)."""
+    K = vals_row.shape[1] - 1
+    acc = vals_row[:, 1] * jnp.take(beta[:, 0], gids)
+    for k in range(1, K):
+        acc = acc + vals_row[:, 1 + k] * jnp.take(beta[:, k], gids)
+    return acc
+
+
 def _unpad_preds(preds_blocks, unpad_idx, contiguous: bool = False):
     """Row-order gather of block predictions; as f32 (hi, lo) pairs when
     configured (same bytes, ~2x faster on TPU, exact to 2^-48). With a
@@ -400,12 +413,13 @@ def _blocks_fit_kernel(
     cd_params=None,  # static (l1_ratio, max_iter, tol, positive) for CD
     force_refine: bool = False,  # static: explicit 'qr' (CholeskyQR2 path)
     svd_guard: bool = False,  # static: explicit 'svd' single-group fast path
+    vals_row=None,  # [N, 1+K] raw row stack (want="preds_row" only)
 ):
     """Steady-state grouped fit on the materialized partition: MXU moment
     matmuls + vectorized Cholesky (or covariance-form CD); predictions are
     computed block-wise (beta indexed by block, [S,K] — tiny) and scattered
     to row order with one [N] gather instead of an [N,K] coefficient
-    gather."""
+    gather (or straight from the row stack under want="preds_row")."""
     K = Zp.shape[-1] - 1
     yp, Xp = Zp[..., 0], Zp[..., 1:]
     XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
@@ -417,6 +431,8 @@ def _blocks_fit_kernel(
         return beta
     if want == "rows":
         return jnp.take(beta, gids, axis=0)
+    if want == "preds_row":
+        return _row_preds(vals_row, beta, gids)
     beta_blocks = jnp.take(beta, block_group, axis=0)  # [S, K]
     preds_blocks = _block_preds(Xp, beta_blocks)
     if want == "preds_flat":  # block-ordered; caller defers the permutation
@@ -439,6 +455,7 @@ def _blocks_fit_kernel_ozaki(
     cd_params=None,
     force_refine: bool = False,
     svd_guard: bool = False,
+    vals_row=None,  # [N, 1+K] raw row stack (want="preds_row" only)
 ):
     """Digit-matmul variant of `_blocks_fit_kernel`: the full moment matrix
     Z^T diag(w) Z comes from exact int8 MXU matmuls (ops/ozaki.py) instead
@@ -461,6 +478,8 @@ def _blocks_fit_kernel_ozaki(
         return beta
     if want == "rows":
         return jnp.take(beta, gids, axis=0)
+    if want == "preds_row":
+        return _row_preds(vals_row, beta, gids)
     beta_blocks = jnp.take(beta, block_group, axis=0)
     preds_blocks = _block_preds(Zp[..., 1:], beta_blocks)
     if want == "preds_flat":
@@ -1113,14 +1132,14 @@ def evaluate_least_squares(
                     layout.device_split_unpad(r_cap), layout.device_gids(),
                 )
                 if digits is not None:
-                    fit = lambda want: _blocks_fit_kernel_ozaki(
+                    fit = lambda want, vr=None: _blocks_fit_kernel_ozaki(
                         Zp, digits, scales, *tail, G, alpha, want, cd_params,
-                        force_refine, svd_single,
+                        force_refine, svd_single, vals_row=vr,
                     )
                 else:
-                    fit = lambda want: _blocks_fit_kernel(
+                    fit = lambda want, vr=None: _blocks_fit_kernel(
                         Zp, *tail, G, alpha, want, cd_params, force_refine,
-                        svd_single,
+                        svd_single, vals_row=vr,
                     )
                 if mode == "coefficients":
                     beta = fit("beta" if layout_in is None else "rows")
@@ -1136,7 +1155,13 @@ def evaluate_least_squares(
                         flat, tail[2], pair=CONFIG.pair_gather
                     )
                     return Series(out_name, lazy, predict_valid)
-                preds = fit("preds")
+                if CONFIG.row_epilogue and G > 1 and valid is None:
+                    # row-space epilogue: predictions built directly in row
+                    # order from the cached row stack — no block-layout
+                    # permutation, exact f64 (see _row_preds)
+                    preds = fit("preds_row", vals)
+                else:
+                    preds = fit("preds")
                 if inv_w is not None:
                     preds = preds * inv_w
                 return Series(out_name, preds, predict_valid)

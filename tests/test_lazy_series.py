@@ -65,3 +65,39 @@ def test_lazy_residuals_transparent(gdf):
     np.testing.assert_allclose(
         out, gdf["y"].to_numpy() - eager_preds, rtol=1e-10, atol=1e-12
     )
+
+
+def test_row_epilogue_matches_block_unpad(gdf):
+    """The row-space materialized epilogue (predictions straight from the
+    cached row stack, CONFIG.row_epilogue) must agree with the block-unpad
+    path bit-for-bit at f64 tolerances, including under WLS scaling."""
+    rng = np.random.default_rng(3)
+    df = gdf.with_columns((col("x1") * 0.0 + 1.0).alias("w0"))
+    w = rng.random(len(gdf["y"].to_numpy())) + 0.1
+    df = pot.DataFrame(
+        {**{c: gdf[c].to_numpy() for c in gdf.columns}, "w": w}
+    )
+    outs = {}
+    CONFIG.lazy_row_order = False
+    try:
+        for flag in (False, True):
+            CONFIG.row_epilogue = flag
+            pot.clear_caches()
+            outs[flag] = {
+                "ols": df.select(
+                    col("y").least_squares.ols(col("x1"), col("x2")).over("g")
+                )["y"].to_numpy(),
+                "wls": df.select(
+                    col("y").least_squares.wls(
+                        col("x1"), col("x2"), sample_weights=col("w")
+                    ).over("g")
+                )["y"].to_numpy(),
+            }
+    finally:
+        CONFIG.row_epilogue = False
+        CONFIG.lazy_row_order = True
+    for key in outs[False]:
+        np.testing.assert_allclose(
+            outs[False][key], outs[True][key], rtol=1e-12, atol=1e-13,
+            err_msg=key,
+        )
