@@ -169,3 +169,27 @@ def test_auto_shard_expression_api():
         m = gids == gi
         expected = np.linalg.lstsq(X[m], y[m], rcond=None)[0]
         np.testing.assert_allclose(cm[m][0], expected, rtol=1e-8, atol=1e-9)
+
+
+def test_make_mesh_multiprocess_topology(monkeypatch):
+    """On multi-host runs make_mesh must build the ("hosts", "chips") mesh
+    with processes on the outer (DCN) axis — verified by faking
+    jax.process_count() on the 8-device CPU mesh (4 hosts x 2 chips)."""
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    mesh = make_mesh()
+    assert tuple(mesh.axis_names) == ("hosts", "chips")
+    assert mesh.devices.shape == (4, 2)
+    # every device appears exactly once
+    ids = sorted(d.id for d in mesh.devices.ravel())
+    assert ids == sorted(d.id for d in jax.devices())
+    # a sharded fit over the 2-D mesh still matches the oracle
+    X, y, gids = _grouped_data(n=1_000, k=2, g=8, seed=4)
+    w = jnp.ones(len(y), dtype=bool)
+    beta, _ = fit_moments_sharded(
+        mesh, jnp.asarray(X), jnp.asarray(y), w, jnp.asarray(gids),
+        num_groups=8, row_axes=("hosts", "chips"),
+    )
+    for g in range(8):
+        m = gids == g
+        ref = np.linalg.lstsq(X[m], y[m], rcond=None)[0]
+        np.testing.assert_allclose(np.asarray(beta)[g], ref, atol=1e-9)
