@@ -264,11 +264,33 @@ class DataFrame:
         return out
 
     def unique(self) -> "DataFrame":
-        arr = self.to_numpy()
-        _, idx = np.unique(
-            np.ascontiguousarray(arr).view([("", arr.dtype)] * arr.shape[1]).ravel(),
-            return_index=True,
-        )
+        # typed key columns: numeric values (+ validity when nulls exist)
+        # for Series, field columns for structs, the deferred group index
+        # (or scalar metric fields) for statistics structs, and reprs for
+        # object columns — a frame-wide float view would choke on the
+        # non-numeric column types
+        keys: List[np.ndarray] = []
+        for c in self._columns.values():
+            if isinstance(c, Series):
+                keys.append(c.to_numpy())
+                if c.validity is not None:
+                    keys.append(np.asarray(c.valid_mask()))
+            elif isinstance(c, StructSeries):
+                m = np.asarray(c.values)
+                keys.extend(m[:, j] for j in range(m.shape[1]))
+                if c.validity is not None:
+                    v = np.asarray(c.validity)
+                    keys.extend(v[:, j] for j in range(v.shape[1]))
+            elif isinstance(c, StatisticsSeries):
+                if c._row_index is not None:
+                    keys.append(np.asarray(c._row_index))
+                else:
+                    for fk in c.SCALAR_FIELDS:
+                        keys.append(np.asarray(c.arrays[fk]))
+            else:  # ObjectSeries
+                keys.append(np.asarray([repr(v) for v in c.values]))
+        rec = keys[0] if len(keys) == 1 else np.rec.fromarrays(keys)
+        _, idx = np.unique(rec, return_index=True)
         return DataFrame._from_columns(
             [c.gather(np.sort(idx)) for c in self._columns.values()]
         )

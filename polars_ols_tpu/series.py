@@ -347,36 +347,64 @@ class StatisticsSeries:
     lists): queries over 10k groups do O(1) host work, gathers/joins stay
     on device, and the dict-row representation is materialised lazily (one
     fetch per field) only when a host consumer asks for it.
+
+    Row broadcast is deferred: ``.over(keys)`` (and joins/filters) record
+    an index map over the [G]-level base arrays instead of gathering
+    (3 + 4K) x N elements per query — the BlockPermuted idea applied to
+    struct columns. Gathers compose; ``.arrays`` materialises (and caches)
+    the row-level view on first access.
     """
 
-    __slots__ = ("name", "feature_names", "arrays", "_rows")
+    __slots__ = ("name", "feature_names", "_base", "_row_index", "_mat", "_rows")
 
     SCALAR_FIELDS = ("r2", "mae", "mse")
     LIST_FIELDS = ("coefficients", "standard_errors", "t_values", "p_values")
 
-    def __init__(self, name: str, feature_names: Sequence[str], arrays: dict) -> None:
+    def __init__(
+        self,
+        name: str,
+        feature_names: Sequence[str],
+        arrays: dict,
+        row_index=None,
+    ) -> None:
         self.name = name
         self.feature_names = list(feature_names)
-        self.arrays = arrays  # field -> device array, [G] or [G, K]
+        self._base = arrays  # field -> device array, [G] or [G, K]
+        self._row_index = row_index  # [N] int index into the base, or None
+        self._mat = None
         self._rows = None
 
     def __len__(self) -> int:
-        return int(self.arrays["r2"].shape[0])
+        if self._row_index is not None:
+            return int(self._row_index.shape[0])
+        return int(self._base["r2"].shape[0])
 
     @property
     def height(self) -> int:
         return len(self)
 
+    @property
+    def arrays(self) -> dict:
+        """Row-level field arrays (materialises a deferred broadcast)."""
+        if self._row_index is None:
+            return self._base
+        if self._mat is None:
+            self._mat = {
+                k: jnp.take(v, self._row_index, axis=0)
+                for k, v in self._base.items()
+            }
+        return self._mat
+
     def alias(self, name: str) -> "StatisticsSeries":
-        return StatisticsSeries(name, self.feature_names, self.arrays)
+        return StatisticsSeries(
+            name, self.feature_names, self._base, self._row_index
+        )
 
     def gather(self, indices) -> "StatisticsSeries":
         idx = jnp.asarray(np.asarray(indices))
-        return StatisticsSeries(
-            self.name,
-            self.feature_names,
-            {k: jnp.take(v, idx, axis=0) for k, v in self.arrays.items()},
-        )
+        if self._row_index is not None:
+            idx = jnp.take(self._row_index, idx, axis=0)
+        return StatisticsSeries(self.name, self.feature_names, self._base, idx)
 
     def filter(self, mask) -> "StatisticsSeries":
         mask = np.asarray(mask, dtype=bool)

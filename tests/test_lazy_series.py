@@ -101,3 +101,24 @@ def test_row_epilogue_matches_block_unpad(gdf):
             outs[False][key], outs[True][key], rtol=1e-12, atol=1e-13,
             err_msg=key,
         )
+
+
+def test_statistics_broadcast_is_deferred(gdf):
+    """.over() statistics keep [G]-level base arrays with a deferred row
+    index; gathers compose without materialising, and a tail gather
+    touches O(n_tail) elements, not O(N)."""
+    out = gdf.select(
+        col("y").least_squares.ols(col("x1"), col("x2"), mode="statistics")
+        .over("g").alias("s")
+    )["s"]
+    assert len(out) == len(gdf["y"].to_numpy())
+    assert out._row_index is not None
+    assert out._base["r2"].shape[0] == 50  # group-level, not row-level
+    # composed gather stays deferred and lands on the right groups
+    tail = out.gather(np.arange(len(out) - 3, len(out)))
+    assert tail._base is out._base
+    g = gdf["g"].to_numpy()[-3:]
+    eager = {k: np.asarray(v) for k, v in out.arrays.items()}  # materialise
+    for i, gi in enumerate(g.astype(int)):
+        assert np.asarray(tail.arrays["r2"])[i] == np.asarray(out._base["r2"])[gi]
+        assert eager["r2"][len(out) - 3 + i] == np.asarray(out._base["r2"])[gi]
