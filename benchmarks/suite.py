@@ -51,13 +51,16 @@ def _make_df(n: int, k: int, n_groups=None, seed=0):
 
 def _sync(out):
     """Force + fetch a tail slice of the query output (a full-output fetch
-    would measure the ~35 ms/MB tunnel, not the device program)."""
-    vals = getattr(out, "values", None)
-    if vals is None:  # StatisticsSeries: fetch a slice of every field
-        for arr in out.arrays.values():
-            np.asarray(arr[-2:])
+    would measure the ~35 ms/MB tunnel, not the device program). The
+    statistics tail goes through the deferred row broadcast — the fetch
+    depends on the fused kernel's output (all groups), which is what
+    bounds the batch, without forcing the O(N) row materialization."""
+    if hasattr(out, "arrays"):  # StatisticsSeries
+        tail = out.gather(np.arange(max(0, len(out) - 2), len(out)))
+        for arr in tail.arrays.values():
+            np.asarray(arr)
         return
-    np.asarray(vals[-2:])
+    np.asarray(out.values[-2:])
 
 
 def _time(fn, reps=7):
