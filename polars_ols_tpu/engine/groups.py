@@ -228,7 +228,10 @@ def bucket_size(n: int) -> int:
     max-group-size in the bucket instead of recompiling per exact size."""
     if n <= 8:
         return max(n, 1)
-    step = 1 << (max(0, (n - 1).bit_length() - 3))
+    # for n in (2^(b-1), 2^b] the step is 2^(b-4): 8 sub-buckets per octave,
+    # so padded-row compute waste stays <= 12.5% while a whole octave of
+    # max-group-sizes shares 8 compiled program shapes
+    step = 1 << (max(0, (n - 1).bit_length() - 4))
     return -(-n // step) * step
 
 

@@ -195,3 +195,28 @@ def test_select_scalar_aggregations():
     out = df.select(col("x").mean().alias("m"), col("x").sum().alias("s"))
     assert out["m"].item() == pytest.approx(2.5)
     assert out["s"].item() == pytest.approx(10.0)
+
+
+def test_shape_bucketing_bounds_compiled_programs():
+    """Padded layout widths are rounded to shape buckets (<=12.5% waste) so
+    one compiled program serves a family of max-group-sizes instead of one
+    program per exact size (cold-start control, engine/groups.py)."""
+    from polars_ols_tpu.engine.groups import build_layout, bucket_size, padded_indices
+
+    assert bucket_size(1) == 1 and bucket_size(8) == 8
+    for lo, hi in ((129, 144), (1001, 1024), (517, 576)):
+        assert bucket_size(lo) == bucket_size(hi)
+    for n in (9, 100, 1000, 12345):
+        b = bucket_size(n)
+        assert b >= n and (b - n) / n <= 0.125
+    # end-to-end: two key columns whose max group size differs land on the
+    # same padded width => identical jit program shapes
+    rng = np.random.default_rng(0)
+    widths = set()
+    for max_count in (130, 140):
+        gids = np.concatenate(
+            [np.zeros(max_count, np.int64), rng.integers(1, 50, 1000)]
+        )
+        layout = build_layout(gids, len(gids))
+        widths.add(padded_indices(layout)[2])
+    assert len(widths) == 1
