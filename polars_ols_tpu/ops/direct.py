@@ -72,8 +72,15 @@ def resolve_solve_method(
     fallback covering rank deficiency (minimum-norm like the reference's
     fallbacks). Explicitly requested 'qr'/'svd' are always honored.
     """
+    assert alpha >= 0.0, "regularization alpha must be non-negative"
     l1 = l1_ratio or 0.0
     if positive or l1 > 0.0:
+        # coordinate descent needs a strictly positive penalty, matching
+        # the reference's CD precondition (src/least_squares.rs:409)
+        assert alpha > 0.0, (
+            "lasso / elastic_net / nnls require alpha > 0 "
+            "(use ols/ridge for an unpenalized fit)"
+        )
         m = solve_method or "cd"
         assert m in ("cd", "cd_active_set"), m
         return m
