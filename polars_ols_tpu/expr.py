@@ -116,6 +116,27 @@ class Expr:
     def abs(self):
         return UnaryExpr("abs", self)
 
+    def log(self):
+        return UnaryExpr("log", self)
+
+    def log1p(self):
+        return UnaryExpr("log1p", self)
+
+    def exp(self):
+        return UnaryExpr("exp", self)
+
+    def __pow__(self, other):
+        return self._binop(other, "pow")
+
+    def pow(self, other):
+        return self.__pow__(other)
+
+    def clip(self, lower_bound=None, upper_bound=None):
+        return ClipExpr(self, lower_bound, upper_bound)
+
+    def shift(self, n: int = 1):
+        return ShiftExpr(self, n)
+
     def round(self, decimals: int = 0):
         return RoundExpr(self, decimals)
 
@@ -349,11 +370,61 @@ class UnaryExpr(Expr):
             out = jnp.sqrt(vals)
         elif self.op == "abs":
             out = jnp.abs(vals)
+        elif self.op == "log":
+            out = jnp.log(vals)
+        elif self.op == "log1p":
+            out = jnp.log1p(vals)
+        elif self.op == "exp":
+            out = jnp.exp(vals)
         elif self.op == "not":
             out = jnp.where(vals != 0.0, 0.0, 1.0)
         else:  # pragma: no cover
             raise ValueError(self.op)
         return Series(s.name, out, s.validity)
+
+
+class ClipExpr(Expr):
+    def __init__(self, inner: Expr, lower_bound=None, upper_bound=None):
+        self.inner = inner
+        self.lower = lower_bound
+        self.upper = upper_bound
+
+    @property
+    def name(self) -> str:
+        return self.inner.name
+
+    def evaluate(self, df, groups=None):
+        s = self.inner.evaluate(df, groups)
+        vals = jnp.asarray(s.values, dtype=jnp.float64)
+        if self.lower is not None:
+            vals = jnp.maximum(vals, self.lower)
+        if self.upper is not None:
+            vals = jnp.minimum(vals, self.upper)
+        return Series(s.name, vals, s.validity)
+
+
+class ShiftExpr(Expr):
+    """Column-level shift with nulls introduced at the boundary (polars
+    Expr.shift semantics in a select context)."""
+
+    def __init__(self, inner: Expr, n: int):
+        self.inner = inner
+        self.n = int(n)
+
+    @property
+    def name(self) -> str:
+        return self.inner.name
+
+    def evaluate(self, df, groups=None):
+        s = self.inner.evaluate(df, groups)
+        n = self.n
+        vals = jnp.asarray(s.values, dtype=jnp.float64)
+        valid = s.valid_mask()
+        out = jnp.roll(vals, n)
+        ok = jnp.roll(valid, n)
+        idx = jnp.arange(vals.shape[0])
+        edge = idx < n if n >= 0 else idx >= vals.shape[0] + n
+        return Series(s.name, jnp.where(edge, 0.0, out), ok & ~edge)
 
 
 class AggExpr(Expr):
@@ -638,6 +709,8 @@ def _binop_series(op: str, l, r):
         out = lv * rv
     elif op == "div":
         out = lv / rv
+    elif op == "pow":
+        out = lv**rv
     elif op in ("gt", "ge", "lt", "le", "eq", "ne", "and", "or"):
         # comparisons / boolean algebra as 0/1 floats (filter casts to
         # bool); null operands yield null like polars' non-Kleene ops

@@ -220,3 +220,26 @@ def test_shape_bucketing_bounds_compiled_programs():
         layout = build_layout(gids, len(gids))
         widths.add(padded_indices(layout)[2])
     assert len(widths) == 1
+
+
+def test_expression_math_ops():
+    """log/exp/pow/clip/shift expression nodes (polars parity for the
+    feature-engineering ops regression pipelines lean on)."""
+    vals = np.asarray([1.0, 2.0, np.nan, 4.0, 8.0])
+    df = pot.DataFrame({"x": vals})
+    out = df.select(
+        col("x").log().alias("lg"),
+        col("x").exp().alias("ex"),
+        (col("x") ** 2).alias("sq"),
+        col("x").clip(1.5, 4.0).alias("cl"),
+        col("x").shift(1).alias("sh"),
+        col("x").shift(-2).alias("shn"),
+    )
+    np.testing.assert_allclose(out["lg"].to_numpy(), np.log(vals))
+    np.testing.assert_allclose(out["ex"].to_numpy(), np.exp(vals))
+    np.testing.assert_allclose(out["sq"].to_numpy(), vals**2)
+    np.testing.assert_allclose(out["cl"].to_numpy(), np.clip(vals, 1.5, 4.0))
+    sh = out["sh"].to_numpy()
+    assert np.isnan(sh[0]) and np.allclose(sh[1:], vals[:-1], equal_nan=True)
+    shn = out["shn"].to_numpy()
+    assert np.isnan(shn[-2:]).all() and np.allclose(shn[:-2], vals[2:], equal_nan=True)
