@@ -667,6 +667,31 @@ def _blocks_cached(layout, vals, valid, policy: str):
     return Zp, wp, predict_valid, block_group, digits, scales
 
 
+def _moving_group_block(G: int, k: int) -> int:
+    """Group-block size for the classic moving kernels: at large G * K^2
+    the [G, chunk, K, K] scan temporaries overflow the backend's scan-state
+    limits even at the minimum chunk of 8 (grouped K=100 at G=10k would be
+    ~6 GB), so the padded group batch is processed in sequential blocks
+    sized to keep the minimum-chunk state inside the 64 MB budget."""
+    return max(1, (64 * 1024 * 1024) // max(1, k * k * 8 * 8))
+
+
+def _solve_moving_blocked(solver, Xp, yp, vp, G: int, k: int, **params):
+    """Dispatch a classic (non-lane) moving solver over group blocks when
+    the whole batch's scan state cannot fit (see `_moving_group_block`).
+    Equal-size blocks share one compiled program; the remainder block (if
+    any) compiles once more."""
+    Gb = _moving_group_block(G, k)
+    if G <= Gb:
+        return solver(Xp, yp, vp, chunk=_pick_chunk(G, k), **params)
+    chunk = _pick_chunk(Gb, k)
+    parts = [
+        solver(Xp[i : i + Gb], yp[i : i + Gb], vp[i : i + Gb], chunk=chunk, **params)
+        for i in range(0, G, Gb)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 def _pick_chunk(G: int, k: int) -> int:
     """Bound the scan chunk for the moving-window kernels.
 
@@ -1322,7 +1347,6 @@ def evaluate_least_squares(
                 "auto_shard: moving model stays on one device "
                 "(needs lane kernels and G >= device_count; G=%d, K=%d)", G, k
             )
-        chunk = _pick_chunk(G, k)
         if function_name == "recursive_least_squares":
             # quirk parity: the reference's predictions entry point ignores
             # initial_state_mean (src/expressions.rs:624-646 passes None)
@@ -1353,12 +1377,11 @@ def evaluate_least_squares(
                     initial_state_mean=mean0,
                 )
             else:
-                coefs_p = solve_recursive_least_squares(
-                    Xp, yp, vp,
+                coefs_p = _solve_moving_blocked(
+                    solve_recursive_least_squares, Xp, yp, vp, G, k,
                     half_life=kwargs.half_life,
                     initial_state_covariance=c0,
                     initial_state_mean=mean0,
-                    chunk=chunk,
                 )
         elif shard_groups:
             from ..parallel import make_mesh, solve_groups_sharded
@@ -1379,15 +1402,12 @@ def evaluate_least_squares(
                 positional=model_params[3],
             )
         else:
-            coefs_p = solve_rolling_ols(
-                Xp,
-                yp,
-                vp,
+            coefs_p = _solve_moving_blocked(
+                solve_rolling_ols, Xp, yp, vp, G, k,
                 window=model_params[0],
                 min_periods=model_params[1],
                 alpha=model_params[2],
                 positional=model_params[3],
-                chunk=chunk,
             )
         if mode == "coefficients":
             return _coef_struct(_unpad_rows(layout, coefs_p), names)

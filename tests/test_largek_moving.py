@@ -9,6 +9,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+import polars_ols_tpu as pot
+from polars_ols_tpu import col
+
 from polars_ols_tpu.ops.recursive import solve_recursive_least_squares
 from polars_ols_tpu.ops.rolling import solve_rolling_ols
 
@@ -65,3 +68,40 @@ def test_rolling_sm_scan_matches_per_window_solve(alpha):
         Xw, yw = X[lo : t + 1], y[lo : t + 1]
         beta = np.linalg.solve(Xw.T @ Xw + alpha * np.eye(K), Xw.T @ yw)
         np.testing.assert_allclose(out[t], beta, rtol=tol, atol=tol)
+
+
+def test_classic_moving_group_blocking_parity(monkeypatch):
+    """When G * K^2 scan state would overflow the backend budget, the
+    classic kernels run over sequential group blocks; forcing a tiny block
+    size must reproduce the unblocked output exactly for both rls and
+    rolling."""
+    import polars_ols_tpu.engine.fit as fit
+    from polars_ols_tpu.config import CONFIG
+
+    rng = np.random.default_rng(11)
+    n, G, K = 6_000, 23, 4
+    X = rng.normal(size=(n, K))
+    y = X @ rng.normal(size=K) + rng.normal(size=n) * 0.1
+    d = {f"x{i}": X[:, i] for i in range(K)}
+    d["y"] = y
+    d["g"] = rng.integers(G, size=n).astype(float)
+    df = pot.DataFrame(d)
+    feats = [col(f"x{i}") for i in range(K)]
+
+    def run():
+        pot.clear_caches()
+        rls = df.select(
+            col("y").least_squares.rls(*feats, half_life=60.0).over("g").alias("p")
+        )["p"].to_numpy()
+        roll = df.select(
+            col("y").least_squares.rolling_ols(*feats, window_size=100)
+            .over("g").alias("p")
+        )["p"].to_numpy()
+        return rls, roll
+
+    assert not CONFIG.moving_lanes  # classic kernels are the CPU default
+    base = run()
+    monkeypatch.setattr(fit, "_moving_group_block", lambda G, k: 5)
+    blocked = run()
+    for a, b in zip(base, blocked):
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
