@@ -1377,12 +1377,36 @@ def evaluate_least_squares(
                     initial_state_mean=mean0,
                 )
             else:
-                coefs_p = _solve_moving_blocked(
-                    solve_recursive_least_squares, Xp, yp, vp, G, k,
-                    half_life=kwargs.half_life,
-                    initial_state_covariance=c0,
-                    initial_state_mean=mean0,
+                from ..ops.moving import lanes_group_block
+
+                gb = (
+                    lanes_group_block(G, R_pad, k, kwargs.half_life)
+                    if CONFIG.moving_lanes
+                    else 0
                 )
+                if gb:
+                    # large-K grouped RLS keeps the fast refined-SM lanes by
+                    # scanning sequential group blocks (the whole batch's
+                    # [G, chunks, K, K] state is what failed to fit)
+                    coefs_p = jnp.concatenate(
+                        [
+                            solve_recursive_lanes(
+                                Xp[i : i + gb], yp[i : i + gb], vp[i : i + gb],
+                                half_life=kwargs.half_life,
+                                initial_state_covariance=c0,
+                                initial_state_mean=mean0,
+                            )
+                            for i in range(0, G, gb)
+                        ],
+                        axis=0,
+                    )
+                else:
+                    coefs_p = _solve_moving_blocked(
+                        solve_recursive_least_squares, Xp, yp, vp, G, k,
+                        half_life=kwargs.half_life,
+                        initial_state_covariance=c0,
+                        initial_state_mean=mean0,
+                    )
         elif shard_groups:
             from ..parallel import make_mesh, solve_groups_sharded
 

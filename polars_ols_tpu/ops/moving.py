@@ -120,6 +120,27 @@ def lanes_applicable(
     return G * n_chunks * K * K * 12 <= _SM_STATE_BYTES
 
 
+def lanes_group_block(
+    G: int, R: int, K: int, half_life=None, rolling: bool = False
+) -> int:
+    """Largest group-block size for which the lane kernels fit when the
+    whole batch does not — grouped RLS at large K keeps the fast refined-SM
+    path by scanning the group batch in sequential blocks. Returns 0 when
+    blocking cannot help (rolling refined-SM needs its exact first-chunk
+    direct pass, whose column-pass op count explodes across many blocks —
+    the classic blocked kernels cover that regime instead)."""
+    if lanes_applicable(G, R, K, half_life, rolling):
+        return G
+    if rolling:
+        return 0
+    gb = 1 << (G.bit_length() - 1)
+    while gb >= 16:
+        if lanes_applicable(gb, R, K, half_life, rolling):
+            return gb
+        gb >>= 1
+    return 0
+
+
 # --------------------------------------------------------------------------- #
 # unrolled lane Cholesky (ops elementwise over [..., G] lanes)
 # --------------------------------------------------------------------------- #

@@ -105,3 +105,40 @@ def test_classic_moving_group_blocking_parity(monkeypatch):
     blocked = run()
     for a, b in zip(base, blocked):
         np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+
+def test_rls_blocked_lanes_parity(monkeypatch):
+    """Grouped RLS whose whole-batch lane state exceeds the memory budget
+    runs the fast refined-SM kernels over sequential group blocks; output
+    must match the classic kernels."""
+    import polars_ols_tpu.ops.moving as moving
+    from polars_ols_tpu.config import CONFIG
+
+    rng = np.random.default_rng(5)
+    n, G, K = 8_000, 64, 4
+    X = rng.normal(size=(n, K))
+    y = X @ rng.normal(size=K) + rng.normal(size=n) * 0.1
+    d = {f"x{i}": X[:, i] for i in range(K)}
+    d["y"] = y
+    d["g"] = rng.integers(G, size=n).astype(float)
+    df = pot.DataFrame(d)
+    feats = [col(f"x{i}") for i in range(K)]
+
+    def run():
+        pot.clear_caches()
+        return df.select(
+            col("y").least_squares.rls(*feats, half_life=80.0).over("g").alias("p")
+        )["p"].to_numpy()
+
+    base = run()  # classic kernels (CPU default)
+    # force the blocked-lanes route: disable the exact lane-chol tier and
+    # shrink the SM state budget so the full batch fails but a 16-group
+    # block fits
+    monkeypatch.setattr(moving, "LANE_CHOL_UNROLL_MAX_K", 2)
+    monkeypatch.setattr(moving, "LANE_CHOL_MAX_K", 2)
+    monkeypatch.setattr(moving, "_SM_STATE_BYTES", 8_000)
+    monkeypatch.setattr(CONFIG, "_moving_lanes", True)
+    assert moving.lanes_group_block(G, 256, K, 80.0) not in (0, G)
+    blocked = run()
+    monkeypatch.setattr(CONFIG, "_moving_lanes", False)
+    np.testing.assert_allclose(blocked, base, rtol=1e-6, atol=1e-8)
