@@ -242,6 +242,24 @@ class DataFrame:
         return DataFrame._from_columns(out)
 
     # ---------------------------------------------------------------- #
+    def _take_rows(self, idx: np.ndarray) -> "DataFrame":
+        return DataFrame._from_columns(
+            [c.gather(idx) for c in self._columns.values()]
+        )
+
+    def head(self, n: int = 5) -> "DataFrame":
+        return self._take_rows(np.arange(min(max(n, 0), self.height)))
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        h = self.height
+        return self._take_rows(np.arange(max(h - max(n, 0), 0), h))
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "DataFrame":
+        h = self.height
+        start = offset if offset >= 0 else max(h + offset, 0)
+        stop = h if length is None else min(start + length, h)
+        return self._take_rows(np.arange(min(start, h), stop))
+
     def _key_array(self, keys: List[str]) -> np.ndarray:
         cols = []
         for k in keys:

@@ -243,3 +243,26 @@ def test_expression_math_ops():
     assert np.isnan(sh[0]) and np.allclose(sh[1:], vals[:-1], equal_nan=True)
     shn = out["shn"].to_numpy()
     assert np.isnan(shn[-2:]).all() and np.allclose(shn[:-2], vals[2:], equal_nan=True)
+
+
+def test_head_tail_slice():
+    df = pot.DataFrame({"a": np.arange(10.0), "b": np.arange(10.0) * 2})
+    np.testing.assert_array_equal(df.head(3)["a"].to_numpy(), [0, 1, 2])
+    np.testing.assert_array_equal(df.tail(2)["b"].to_numpy(), [16, 18])
+    np.testing.assert_array_equal(df.slice(2, 3)["a"].to_numpy(), [2, 3, 4])
+    np.testing.assert_array_equal(df.slice(-3)["a"].to_numpy(), [7, 8, 9])
+    assert df.head(0).shape == (0, 2) and df.head(99).shape == (10, 2)
+    # struct and statistics columns slice too
+    rng = np.random.default_rng(0)
+    n = 100
+    df2 = pot.DataFrame(
+        {"y": rng.normal(size=n), "x": rng.normal(size=n),
+         "g": rng.integers(4, size=n).astype(float)}
+    )
+    out = df2.select(
+        "g",
+        col("y").least_squares.ols(col("x"), mode="coefficients").over("g").alias("c"),
+        col("y").least_squares.ols(col("x"), mode="statistics").over("g").alias("s"),
+    )
+    t = out.tail(3)
+    assert t.shape == (3, 3) and len(t["s"]) == 3
