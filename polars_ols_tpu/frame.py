@@ -550,7 +550,7 @@ class LazyFrame:
         {
             "select", "with_columns", "with_row_index", "filter", "fill_null",
             "fill_nan", "drop_nulls", "drop", "rename", "unnest", "explode",
-            "sort", "join", "unique",
+            "sort", "join", "unique", "head", "tail", "slice",
         }
     )
 
