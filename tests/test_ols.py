@@ -1069,3 +1069,51 @@ def test_reference_readme_example():
     np.testing.assert_allclose(
         np.asarray(coefs.values)[0], [0.977375, 0.987413, 0.000757], atol=5e-6
     )
+
+
+def test_scrambled_order_lazy_weighted_rolling_predict():
+    """The reference's non-contiguous-memory scenario
+    (tests/test_ols.py:969-996): partitions re-concatenated in reversed
+    order, then a lazy pipeline of weighted rolling coefficients over
+    groups chained into predict. Row order here is scrambled rather than
+    rechunked (this engine has no chunked memory), which exercises the
+    same contract — group-scattered rows, weighted drop-policy rolling,
+    coefficient structs joined back through predict."""
+    rng = np.random.default_rng(0)
+    df = _make_data(n_samples=20_000, n_groups=5, n_features=10, add_missing=True)
+    parts = df.partition_by("group")
+    scrambled = pot.concat(
+        [p.sort("x1") for p in reversed(parts)], how="vertical"
+    )
+    scrambled = scrambled.with_columns(
+        weights=pot.lit(rng.uniform(0.0, 10.0, size=len(scrambled)))
+    )
+    out = (
+        scrambled.lazy()
+        .with_columns(
+            col("y")
+            .least_squares.rolling_ols(
+                col("^x.*$"),
+                window_size=100,
+                min_periods=1,
+                null_policy="drop",
+                sample_weights="weights",
+                mode="coefficients",
+            )
+            .over("group")
+            .alias("coefficients")
+        )
+        .with_columns(
+            col("coefficients").least_squares.predict(col("^x.*$")).alias("p")
+        )
+        .collect()
+    )
+    coefs = out["coefficients"].to_numpy()
+    assert np.nanmean(coefs[-1]) == pytest.approx(1.0, rel=0.01, abs=0.01)
+    # chained predict rows must reproduce X . beta_row
+    X = np.stack([out[f"x{i+1}"].to_numpy() for i in range(10)], axis=1)
+    p = out["p"].to_numpy()
+    m = np.isfinite(coefs).all(axis=1) & np.isfinite(X).all(axis=1)
+    np.testing.assert_allclose(
+        p[m], np.einsum("nk,nk->n", np.nan_to_num(X[m]), coefs[m]), atol=1e-8
+    )
