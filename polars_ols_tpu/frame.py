@@ -319,33 +319,68 @@ class DataFrame:
         order = np.argsort(ks, kind="stable")
         return DataFrame._from_columns([c.gather(order) for c in self._columns.values()])
 
+    def _join_codes(self, other: "DataFrame", on: List[str]):
+        """Shared dense key codes for a join via the native O(N) hash
+        factorizer (engine/native/factorize.cpp) — no sort of the combined
+        key set. Returns None when a key column needs the generic
+        unique-sort path (object dtype or NaN keys)."""
+        from .engine.groups import _factorize_numeric
+
+        arrays = []
+        for k in on:
+            lv = np.asarray(self.get_column(k).to_numpy())
+            rv = np.asarray(other.get_column(k).to_numpy())
+            if lv.dtype == object or rv.dtype == object:
+                return None
+            v = np.concatenate([lv, rv])
+            if np.issubdtype(v.dtype, np.floating) and np.isnan(v).any():
+                return None
+            arrays.append(_factorize_numeric(v).astype(np.int64))
+        combined = arrays[0]
+        for a in arrays[1:]:
+            combined = combined * (int(a.max(initial=0)) + 1) + a
+        if len(arrays) > 1:
+            combined = _factorize_numeric(combined)
+        return combined[: self.height], combined[self.height :]
+
     def join(self, other: "DataFrame", on: Union[str, List[str]], how: str = "inner") -> "DataFrame":
-        """Vectorized hash/sort-merge join (inner / left): O((n+m) log m)
-        numpy index arithmetic, no per-row Python loops."""
+        """Vectorized hash join (inner / left): native O(n+m) hash codes +
+        counting-sort positions; generic keys (object / NaN) fall back to
+        sort-merge. No per-row Python loops either way."""
         assert how in ("inner", "left"), how
         on = [on] if isinstance(on, str) else on
-        lk, rk = self._key_array(on), other._key_array(on)
-        _, inv = np.unique(np.concatenate([lk, rk]), return_inverse=True)
-        lcode, rcode = inv[: len(lk)], inv[len(lk):]
-        r_order = np.argsort(rcode, kind="stable")
-        r_sorted = rcode[r_order]
-        starts = np.searchsorted(r_sorted, lcode, "left")
-        ends = np.searchsorted(r_sorted, lcode, "right")
-        counts = ends - starts
+        fast = self._join_codes(other, on) if self.height and len(other) else None
+        if fast is not None:
+            lcode, rcode = fast
+            ncodes = int(max(lcode.max(initial=-1), rcode.max(initial=-1))) + 1
+            cnt = np.bincount(rcode, minlength=ncodes)
+            code_starts = np.zeros(ncodes, dtype=np.int64)
+            np.cumsum(cnt[:-1], out=code_starts[1:])
+            r_order = np.argsort(rcode, kind="stable")
+            starts = code_starts[lcode]
+            counts = cnt[lcode]
+        else:
+            lk, rk = self._key_array(on), other._key_array(on)
+            _, inv = np.unique(np.concatenate([lk, rk]), return_inverse=True)
+            lcode, rcode = inv[: len(lk)], inv[len(lk):]
+            r_order = np.argsort(rcode, kind="stable")
+            r_sorted = rcode[r_order]
+            starts = np.searchsorted(r_sorted, lcode, "left")
+            counts = np.searchsorted(r_sorted, lcode, "right") - starts
         if how == "left":
             matched = counts > 0
             counts = np.maximum(counts, 1)  # unmatched keep one null row
         total = int(counts.sum())
-        li = np.repeat(np.arange(len(lk)), counts)
+        li = np.repeat(np.arange(self.height), counts)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         within = np.arange(total) - np.repeat(offsets, counts)
         ri_pos = np.repeat(starts, counts) + within
         if how == "left":
             valid_r = np.repeat(matched, counts)
-            if len(r_sorted) == 0:  # empty right frame: all rows unmatched
+            if len(r_order) == 0:  # empty right frame: all rows unmatched
                 ri = np.zeros(total, dtype=np.int64)
             else:
-                ri = r_order[np.where(valid_r, np.minimum(ri_pos, len(r_sorted) - 1), 0)]
+                ri = r_order[np.where(valid_r, np.minimum(ri_pos, len(r_order) - 1), 0)]
         else:
             valid_r = None
             ri = r_order[ri_pos]

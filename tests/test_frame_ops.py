@@ -266,3 +266,40 @@ def test_head_tail_slice():
     )
     t = out.tail(3)
     assert t.shape == (3, 3) and len(t["s"]) == 3
+
+
+def test_join_hash_fast_path_matches_sort_merge(monkeypatch):
+    """The native hash-code join must produce exactly the sort-merge
+    fallback's output (inner and left, single and multi key, duplicate and
+    unmatched keys)."""
+    rng = np.random.default_rng(8)
+    left = pot.DataFrame(
+        {
+            "k": rng.integers(0, 12, 200).astype(float),
+            "k2": rng.integers(0, 3, 200).astype(float),
+            "a": rng.normal(size=200),
+        }
+    )
+    right = pot.DataFrame(
+        {
+            "k": rng.integers(5, 20, 60).astype(float),
+            "k2": rng.integers(0, 3, 60).astype(float),
+            "b": rng.normal(size=60),
+        }
+    )
+
+    def run_all():
+        outs = []
+        for how in ("inner", "left"):
+            for on in ("k", ["k", "k2"]):
+                out = left.join(right, on=on, how=how)
+                outs.append({c: out[c].to_numpy() for c in out.columns})
+        return outs
+
+    fast = run_all()
+    monkeypatch.setattr(pot.DataFrame, "_join_codes", lambda *a, **k: None)
+    slow = run_all()
+    for f, s in zip(fast, slow):
+        assert set(f) == set(s)
+        for c in f:
+            np.testing.assert_array_equal(f[c], s[c], err_msg=c)
