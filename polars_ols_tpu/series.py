@@ -252,6 +252,41 @@ class Series:
         assert len(self) == 1, f"Series {self.name} has {len(self)} values"
         return self[0]
 
+    # ---- null-aware scalar reductions (polars Series surface) ---- #
+    def _valid_values(self) -> np.ndarray:
+        vals = self.to_numpy()
+        if self.validity is None:
+            return vals
+        return vals[np.asarray(self.valid_mask())]
+
+    def sum(self) -> float:
+        v = self._valid_values()
+        return float(v.sum()) if len(v) else 0.0
+
+    def mean(self) -> Optional[float]:
+        v = self._valid_values()
+        return float(v.mean()) if len(v) else None
+
+    def min(self) -> Optional[float]:
+        v = self._valid_values()
+        return float(v.min()) if len(v) else None
+
+    def max(self) -> Optional[float]:
+        v = self._valid_values()
+        return float(v.max()) if len(v) else None
+
+    def std(self, ddof: int = 1) -> Optional[float]:
+        v = self._valid_values()
+        return float(v.std(ddof=ddof)) if len(v) > ddof else None
+
+    def var(self, ddof: int = 1) -> Optional[float]:
+        v = self._valid_values()
+        return float(v.var(ddof=ddof)) if len(v) > ddof else None
+
+    def median(self) -> Optional[float]:
+        v = self._valid_values()
+        return float(np.median(v)) if len(v) else None
+
     def count(self) -> int:
         return len(self) - self.null_count()
 

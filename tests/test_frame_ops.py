@@ -303,3 +303,13 @@ def test_join_hash_fast_path_matches_sort_merge(monkeypatch):
         assert set(f) == set(s)
         for c in f:
             np.testing.assert_array_equal(f[c], s[c], err_msg=c)
+
+
+def test_series_scalar_reductions():
+    s = pot.Series("s", np.asarray([1.0, 2.0, 0.0, 4.0]),
+                   np.asarray([True, True, False, True]))  # 0.0 is null
+    assert s.sum() == 7.0 and s.mean() == pytest.approx(7 / 3)
+    assert s.min() == 1.0 and s.max() == 4.0 and s.median() == 2.0
+    assert s.std() == pytest.approx(np.std([1, 2, 4], ddof=1))
+    empty = pot.Series("e", np.asarray([np.nan]), np.asarray([False]))
+    assert empty.sum() == 0.0 and empty.mean() is None and empty.max() is None
