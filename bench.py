@@ -32,6 +32,8 @@ program cost).
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -58,7 +60,45 @@ def _measure(df, expr, sync):
     return float(np.min(times)), float(np.median(times))
 
 
+def _backend_reachable(attempts: int = 5, probe_timeout_s: int = 120) -> bool:
+    """The axon tunnel can die such that jax.devices() hangs forever (no
+    error). Probe in a subprocess with a timeout so a dead tunnel yields an
+    honest failure line instead of hanging the harness; retry a few times
+    in case the outage is a blip."""
+    probe = "import jax; jax.devices(); print('ok')"
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                capture_output=True,
+                text=True,
+            )
+            if out.returncode == 0 and "ok" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            time.sleep(60)
+    return False
+
+
 def main() -> None:
+    if not _backend_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "grouped_ols_rows_per_s_per_chip_materialized",
+                    "value": 0,
+                    "unit": "rows/s",
+                    "vs_baseline": 0.0,
+                    "error": "accelerator backend unreachable "
+                    "(device enumeration hangs; axon tunnel down — "
+                    "see BENCHMARKS.md round-3 status)",
+                }
+            )
+        )
+        return
     import polars_ols_tpu as pot
     from polars_ols_tpu import CONFIG
 
