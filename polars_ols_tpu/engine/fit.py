@@ -98,7 +98,7 @@ def _gather_per_row(layout, per_group: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 # fused static fit + predict (normal-equation path)
 # --------------------------------------------------------------------------- #
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "policy", "want", "force_refine"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "policy", "want", "force_refine", "lu"))
 def _chol_fit_kernel(
     vals,  # [N, 1+K] target column 0, features 1..K (raw values)
     valid,  # [N, 1+K] bool validity, or None when fully valid
@@ -111,6 +111,7 @@ def _chol_fit_kernel(
     policy: str,
     want: str,  # "beta" | "rows" | "preds"
     force_refine: bool = False,  # explicit 'qr': unconditional CSNE sweeps
+    lu: bool = False,  # explicit 'lu': partial-pivot elimination, no CSNE
 ):
     """One fused device program for grouped normal-equation fits:
     null-policy masking -> single padded gather -> MXU moment matmuls ->
@@ -153,7 +154,11 @@ def _chol_fit_kernel(
         refine = (Xp, yp, wp.astype(F64), block_group, num_groups)
 
     A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-    if force_refine:
+    if lu:
+        from ..ops.linalg import solve_lu
+
+        beta = solve_lu(A, Xty)
+    elif force_refine:
         beta = _csne_refine_blocks(A, solve_psd(A, Xty), *refine, alpha)
     else:
         beta, cond_est = solve_psd_cond(A, Xty)
@@ -336,7 +341,8 @@ _SVD_GUARD_COND = 1.0e10
 
 
 def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None,
-                    force_refine: bool = False, svd_guard: bool = False):
+                    force_refine: bool = False, svd_guard: bool = False,
+                    lu: bool = False):
     """Normal-equation Cholesky solve (with conditioning-gated CSNE
     refinement when row blocks are supplied), or covariance-form coordinate
     descent when cd hyper-parameters are supplied (lasso/enet/NNLS).
@@ -358,6 +364,13 @@ def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None,
     if cd_params is None:
         K = XtX.shape[-1]
         A = XtX + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
+        if lu:
+            # explicit 'lu': genuine batched partial-pivot elimination with
+            # no CSNE sweeps — the reference's LU path is likewise a plain
+            # factorization (src/least_squares.rs:264-273)
+            from ..ops.linalg import solve_lu
+
+            return solve_lu(A, Xty)
         if refine is None:
             return solve_psd(A, Xty)
         Xp, yp, wf, block_group, num_groups = refine
@@ -400,7 +413,7 @@ def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None,
     )
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine", "svd_guard"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine", "svd_guard", "lu"))
 def _blocks_fit_kernel(
     Zp,  # [S, R, 1+K] target in slot 0
     wp,  # [S, R]
@@ -414,6 +427,7 @@ def _blocks_fit_kernel(
     force_refine: bool = False,  # static: explicit 'qr' (CholeskyQR2 path)
     svd_guard: bool = False,  # static: explicit 'svd' single-group fast path
     vals_row=None,  # [N, 1+K] raw row stack (want="preds_row" only)
+    lu: bool = False,  # static: explicit 'lu' (partial-pivot elimination)
 ):
     """Steady-state grouped fit on the materialized partition: MXU moment
     matmuls + vectorized Cholesky (or covariance-form CD); predictions are
@@ -425,7 +439,7 @@ def _blocks_fit_kernel(
     XtX, Xty, counts = grouped_moments(Xp, yp, wp, block_group, num_groups)
     refine = (Xp, yp, wp.astype(F64), block_group, num_groups)
     beta = _solve_dispatch(
-        XtX, Xty, counts, alpha, cd_params, refine, force_refine, svd_guard
+        XtX, Xty, counts, alpha, cd_params, refine, force_refine, svd_guard, lu
     )
     if want == "beta":
         return beta
@@ -440,7 +454,7 @@ def _blocks_fit_kernel(
     return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine", "svd_guard"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine", "svd_guard", "lu"))
 def _blocks_fit_kernel_ozaki(
     Zp,  # [S, R, 1+K] target in slot 0 (used for block predictions)
     digits,  # [D, S, R, 1+K] int8 digit planes (padding rows zeroed)
@@ -456,6 +470,7 @@ def _blocks_fit_kernel_ozaki(
     force_refine: bool = False,
     svd_guard: bool = False,
     vals_row=None,  # [N, 1+K] raw row stack (want="preds_row" only)
+    lu: bool = False,
 ):
     """Digit-matmul variant of `_blocks_fit_kernel`: the full moment matrix
     Z^T diag(w) Z comes from exact int8 MXU matmuls (ops/ozaki.py) instead
@@ -472,7 +487,7 @@ def _blocks_fit_kernel_ozaki(
     Xty = M[:, 1:, 0]
     refine = (Zp[..., 1:], Zp[..., 0], wp.astype(F64), block_group, num_groups)
     beta = _solve_dispatch(
-        XtX, Xty, counts, alpha, cd_params, refine, force_refine, svd_guard
+        XtX, Xty, counts, alpha, cd_params, refine, force_refine, svd_guard, lu
     )
     if want == "beta":
         return beta
@@ -585,6 +600,7 @@ def _statistics_blocks(layout, vals, valid, policy, kwargs, names, layout_in,
 def _sharded_static(
     layout, vals, valid, policy, alpha, cd_params, mode,
     names, out_name, inv_w, layout_in, G, n, force_refine: bool = False,
+    lu: bool = False,
 ):
     """Multi-chip static fit: returns the finished output Series, or None to
     fall back to single-device execution (with a log explaining why)."""
@@ -624,7 +640,7 @@ def _sharded_static(
         return _statistics_series(out, names, layout, layout_in)
     beta, preds = fit_moments_sharded(
         mesh, X_fit, y_fit, wmask, gids, num_groups=G, alpha=alpha,
-        cd_params=cd_params, X_pred=X_pred, force_refine=force_refine,
+        cd_params=cd_params, X_pred=X_pred, force_refine=force_refine, lu=lu,
     )
     if mode == "coefficients":
         rows = beta if layout_in is None else _gather_per_row(layout, beta)
@@ -852,9 +868,13 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
             return _solve_ne_refined_rows(
                 XtX, Xty, problem.X, problem.y, problem.fit_mask,
                 layout.device_gids(), layout.num_groups, float(alpha),
-                force_refine=method == "qr",
+                force_refine=method == "qr", lu=method == "lu",
             )
         A = jnp.asarray(float(alpha), F64) * jnp.eye(k, dtype=F64) + XtX
+        if method == "lu":
+            from ..ops.linalg import solve_lu
+
+            return solve_lu(A, Xty)
         return solve_psd(A, Xty)
     if method in ("cd", "cd_active_set"):
         # covariance-form CD: one moment pass, then O(K) coordinate steps
@@ -956,17 +976,22 @@ def _svd_fit_kernel(
     return preds_p
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "force_refine"))
+@partial(jax.jit, static_argnames=("num_groups", "alpha", "force_refine", "lu"))
 def _solve_ne_refined_rows(
     XtX, Xty, X, y, w, gids, num_groups: int, alpha: float,
-    force_refine: bool = False,
+    force_refine: bool = False, lu: bool = False,
 ):
     """Row-space variant of the conditioning-gated CSNE refinement for the
     general (non-fused) normal-equation path: same math as
     `_csne_refine_blocks` but over [N]-shaped rows with segment sums.
-    ``force_refine`` = explicit 'qr' (CholeskyQR2-equivalent)."""
+    ``force_refine`` = explicit 'qr' (CholeskyQR2-equivalent); ``lu`` =
+    explicit 'lu' (plain partial-pivot elimination, no sweeps)."""
     k = XtX.shape[-1]
     A = XtX + jnp.asarray(alpha, F64) * jnp.eye(k, dtype=F64)
+    if lu:
+        from ..ops.linalg import solve_lu
+
+        return solve_lu(A, Xty)
     wf = w.astype(F64)
 
     def refine(b):
@@ -1107,6 +1132,7 @@ def evaluate_least_squares(
         )
         if method in ("chol", "lu", "cd", "cd_active_set", "qr") or svd_single:
             force_refine = method in ("qr", "svd")
+            lu = method == "lu"
             cd_params = None
             if method in ("cd", "cd_active_set"):
                 cd_params = (
@@ -1133,7 +1159,7 @@ def evaluate_least_squares(
             if CONFIG.auto_shard and jax.device_count() > 1:
                 out = _sharded_static(
                     layout, vals, valid, policy, alpha, cd_params, mode,
-                    names, out_name, inv_w, layout_in, G, n, force_refine,
+                    names, out_name, inv_w, layout_in, G, n, force_refine, lu,
                 )
                 if out is not None:
                     return out
@@ -1159,12 +1185,12 @@ def evaluate_least_squares(
                 if digits is not None:
                     fit = lambda want, vr=None: _blocks_fit_kernel_ozaki(
                         Zp, digits, scales, *tail, G, alpha, want, cd_params,
-                        force_refine, svd_single, vals_row=vr,
+                        force_refine, svd_single, vals_row=vr, lu=lu,
                     )
                 else:
                     fit = lambda want, vr=None: _blocks_fit_kernel(
                         Zp, *tail, G, alpha, want, cd_params, force_refine,
-                        svd_single, vals_row=vr,
+                        svd_single, vals_row=vr, lu=lu,
                     )
                 if mode == "coefficients":
                     beta = fit("beta" if layout_in is None else "rows")
@@ -1198,10 +1224,12 @@ def evaluate_least_squares(
                 args = (vals, valid, g, pmask, block_group, layout.device_gids())
                 if mode == "coefficients":
                     want = "beta" if layout_in is None else "rows"
-                    beta = _chol_fit_kernel(*args, G, alpha, policy, want, force_refine)
+                    beta = _chol_fit_kernel(
+                        *args, G, alpha, policy, want, force_refine, lu
+                    )
                     return _coef_struct(beta, names)
                 preds, predict_valid = _chol_fit_kernel(
-                    *args, G, alpha, policy, "preds", force_refine
+                    *args, G, alpha, policy, "preds", force_refine, lu
                 )
                 if inv_w is not None:
                     preds = preds * inv_w

@@ -253,13 +253,96 @@ def _chol_pivots_squared(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(d2, axis=-1)
 
 
+def _lu_solve_vectorized(A: jnp.ndarray, rhs: jnp.ndarray):
+    """Batched partial-pivot LU solve with O(K) fused column passes.
+
+    The TPU backend's LU custom call crashes its compiler, so — like the
+    vectorized Cholesky above — Gaussian elimination is expressed as K
+    whole-submatrix elimination steps whose every op is elementwise over
+    the batch lanes. Per-step row pivoting is done WITHOUT gathers (f64
+    random gathers run ~0.5 GB/s here): the pivot row is extracted with a
+    one-hot multiply+reduce and the swap applied as two rank-1 corrections.
+
+    Args:
+        A: [..., K, K] general square (no symmetry assumed).
+        rhs: [..., K, M].
+    Returns:
+        (solution [..., K, M], ok [...] bool lanes with finite nonzero pivots)
+    """
+    K = A.shape[-1]
+    rows = jnp.arange(K)
+    S = A
+    B = rhs
+    inv_d = []  # [...] reciprocal pivots (aligned with final row positions)
+    min_abs_d = None
+    for j in range(K):
+        # partial pivot: largest |S[i, j]| over i >= j
+        mag = jnp.where(rows >= j, jnp.abs(S[..., :, j]), -1.0)
+        p = jnp.argmax(mag, axis=-1)  # [...]
+        hot_p = rows == p[..., None]  # [..., K]
+        hot_j = (rows == j) & jnp.ones_like(hot_p)
+        # swap rows j <-> p of S and B: S' = S + (1_j - 1_p) (S[p] - S[j])'.
+        # Multipliers are stored compactly below the diagonal of S (classic
+        # in-place LU), so the swap carries already-computed L rows along —
+        # exactly the permutation bookkeeping a pivot array would do.
+        delta_S = (S * hot_p[..., :, None]).sum(-2) - S[..., j, :]
+        swap = (hot_j ^ hot_p).astype(S.dtype) * jnp.where(hot_j, 1.0, -1.0)
+        S = S + swap[..., :, None] * delta_S[..., None, :]
+        delta_B = (B * hot_p[..., :, None]).sum(-2) - B[..., j, :]
+        B = B + swap[..., :, None] * delta_B[..., None, :]
+        # eliminate column j below the diagonal, storing the multipliers in
+        # the zeroed positions (columns < j stay untouched by the update:
+        # the pivot row is masked to cols >= j)
+        d = S[..., j, j]
+        dj = 1.0 / jnp.where(d == 0, 1.0, d)
+        dj = jnp.where(d == 0, jnp.nan, dj)
+        col = S[..., :, j] * dj[..., None] * (rows > j)
+        pivrow = S[..., j, :] * (rows >= j)
+        S = S - col[..., :, None] * (pivrow[..., None, :] - (rows == j))
+        inv_d.append(dj)
+        ad = jnp.abs(d)
+        min_abs_d = ad if min_abs_d is None else jnp.minimum(min_abs_d, ad)
+    # S now holds U on/above the diagonal and L's multipliers strictly below
+    U = S * (rows[:, None] <= rows[None, :])
+    L = S * (rows[:, None] > rows[None, :])
+    ok = jnp.isfinite(S).all(axis=(-2, -1)) & (min_abs_d > 0)
+    # forward substitution (unit lower): z_j = B_j - sum_{m<j} L[j,m] z_m
+    z = B
+    zs = []
+    for j in range(K):
+        zj = z[..., j, :]
+        zs.append(zj)
+        z = z - L[..., :, j][..., None] * zj[..., None, :]
+    z = jnp.stack(zs, axis=-2)
+    # back substitution: U x = z
+    x = z
+    xs = [None] * K
+    for j in range(K - 1, -1, -1):
+        xj = x[..., j, :] * inv_d[j][..., None]
+        xs[j] = xj
+        x = x - U[..., :, j][..., :, None] * xj[..., None, :]
+    return jnp.stack(xs, axis=-2), ok
+
+
 def solve_lu(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """The reference's LU path (src/least_squares.rs:264-273) solves the same
-    PSD normal-equation systems as the Cholesky path; this TPU backend's LU
-    custom-call is broken (compiler abort), so the LU method maps onto the
-    Cholesky-with-eigh-fallback kernel — identical solutions, same failure
-    semantics."""
-    return solve_psd(A, b)
+    """Batched partial-pivot LU solve with eigh-pinv fallback on failure.
+
+    Genuine LU, matching the reference's faer partial-piv path
+    (src/least_squares.rs:264-273) — unlike the Cholesky kernel it does not
+    assume positive-definiteness, so indefinite systems solve directly.
+    Singular lanes degrade to the eigh pseudo-solve, mirroring the
+    reference's solve_normal_equations fallback chain
+    (src/least_squares.rs:287-328)."""
+    rhs = b[..., None] if b.ndim == A.ndim - 1 else b
+    sol, ok = _lu_solve_vectorized(A, rhs)
+    sol = jnp.where(jnp.isfinite(sol), sol, 0.0)
+
+    def with_fallback(_):
+        fb = eigh_pinv_solve(A, rhs)
+        return jnp.where(ok[..., None, None], sol, fb)
+
+    out = lax.cond(ok.all(), lambda _: sol, with_fallback, operand=None)
+    return out[..., 0] if b.ndim == A.ndim - 1 else out
 
 
 # --------------------------------------------------------------------------- #

@@ -140,6 +140,7 @@ def fit_moments_sharded(
     cd_params: Optional[Tuple[float, int, float, bool]] = None,
     X_pred: Optional[jnp.ndarray] = None,
     force_refine: bool = False,
+    lu: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed grouped normal-equation (or covariance-form CD) fit.
 
@@ -218,7 +219,13 @@ def fit_moments_sharded(
                     b = b + solve_psd(A, Xtr - jnp.asarray(alpha, F64) * b)
                 return b
 
-            if force_refine:
+            if lu:
+                # explicit 'lu': the genuine partial-pivot kernel, matching
+                # the single-device path (no CSNE — plain factorization)
+                from ..ops.linalg import solve_lu
+
+                beta_local = solve_lu(A, xty)
+            elif force_refine:
                 # explicit 'qr': unconditional CSNE sweeps so the sharded
                 # path matches the single-device CholeskyQR2-equivalent
                 beta_local = refine(solve_psd(A, xty))

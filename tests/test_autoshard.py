@@ -50,6 +50,7 @@ ls = col("y").least_squares
     "name,expr,nulls",
     [
         ("ols", ls.ols(col("x1"), col("x2")).over("g"), False),
+        ("ols_lu", ls.ols(col("x1"), col("x2"), solve_method="lu").over("g"), False),
         ("ols_nulls_drop", ls.ols(col("x1"), col("x2"), null_policy="drop").over("g"), True),
         ("ridge", ls.ridge(col("x1"), col("x2"), alpha=0.05).over("g"), False),
         ("wls", ls.wls(col("x1"), col("x2"), sample_weights=col("w")).over("g"), False),

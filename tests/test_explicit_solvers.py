@@ -75,6 +75,77 @@ def test_svd_lstsq_lanes_rank_deficient_minimum_norm():
         np.testing.assert_allclose(got[g], exp, rtol=1e-8, atol=1e-9)
 
 
+def test_lu_solve_general_matches_numpy():
+    """Partial-pivot LU on general (nonsymmetric, indefinite) batches."""
+    from polars_ols_tpu.ops.linalg import solve_lu
+
+    rng = np.random.default_rng(6)
+    G, K = 50, 7
+    A = rng.normal(size=(G, K, K))
+    b = rng.normal(size=(G, K))
+    got = np.asarray(solve_lu(jnp.asarray(A), jnp.asarray(b)))
+    exp = np.linalg.solve(A, b[..., None])[..., 0]
+    np.testing.assert_allclose(got, exp, rtol=1e-10, atol=1e-11)
+    # matrix rhs
+    B = rng.normal(size=(G, K, 3))
+    gotm = np.asarray(solve_lu(jnp.asarray(A), jnp.asarray(B)))
+    np.testing.assert_allclose(gotm, np.linalg.solve(A, B), rtol=1e-10, atol=1e-11)
+
+
+def test_lu_solve_requires_pivoting():
+    """Zero leading pivots: pivotless elimination would divide by zero."""
+    from polars_ols_tpu.ops.linalg import solve_lu
+
+    A = np.array(
+        [
+            [[0.0, 2.0, 1.0], [1.0, 0.0, 3.0], [4.0, 1.0, 0.0]],
+            [[0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 5.0]],
+        ]
+    )
+    b = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    got = np.asarray(solve_lu(jnp.asarray(A), jnp.asarray(b)))
+    exp = np.linalg.solve(A, b[..., None])[..., 0]
+    np.testing.assert_allclose(got, exp, rtol=1e-12, atol=1e-12)
+
+
+def test_lu_solve_singular_lane_falls_back_to_pinv():
+    """A singular lane degrades to the eigh pseudo-solve (reference
+    solve_normal_equations fallback chain) without disturbing good lanes."""
+    from polars_ols_tpu.ops.linalg import solve_lu
+
+    rng = np.random.default_rng(7)
+    K = 5
+    good = rng.normal(size=(K, K))
+    good = good @ good.T + K * np.eye(K)
+    sing = np.ones((K, K))  # rank 1 symmetric
+    A = np.stack([good, sing])
+    b = rng.normal(size=(2, K))
+    got = np.asarray(solve_lu(jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_allclose(got[0], np.linalg.solve(good, b[0]), rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(got[1], np.linalg.pinv(sing) @ b[1], rtol=1e-8, atol=1e-9)
+
+
+def test_engine_explicit_lu_grouped_matches_lstsq():
+    """Grouped explicit solve_method='lu' rides the genuine LU kernel."""
+    rng = np.random.default_rng(8)
+    n, G = 4_000, 40
+    x1, x2 = rng.normal(size=(2, n))
+    y = -1.5 * x1 + 0.7 * x2 + rng.normal(size=n) * 0.1
+    g = rng.integers(G, size=n).astype(float)
+    df = pot.DataFrame({"y": y, "x1": x1, "x2": x2, "g": g})
+    preds = df.select(
+        col("y").least_squares.ols(
+            col("x1"), col("x2"), solve_method="lu"
+        ).over("g")
+    )["y"].to_numpy()
+    x = np.stack([x1, x2], axis=1)
+    expected = np.empty_like(y)
+    for gid in np.unique(g):
+        m = g == gid
+        expected[m] = x[m] @ np.linalg.lstsq(x[m], y[m], rcond=None)[0]
+    np.testing.assert_allclose(preds, expected, rtol=1e-9, atol=1e-10)
+
+
 def test_engine_explicit_qr_grouped_matches_lstsq():
     """Grouped explicit solve_method='qr' (CholeskyQR2-equivalent route)."""
     rng = np.random.default_rng(4)
