@@ -1454,13 +1454,38 @@ def evaluate_least_squares(
                 positional=model_params[3],
             )
         else:
-            coefs_p = _solve_moving_blocked(
-                solve_rolling_ols, Xp, yp, vp, G, k,
-                window=model_params[0],
-                min_periods=model_params[1],
-                alpha=model_params[2],
-                positional=model_params[3],
+            from ..ops.moving import lanes_group_block
+
+            gb = (
+                lanes_group_block(G, R_pad, k, None, rolling=True)
+                if CONFIG.moving_lanes
+                else 0
             )
+            if gb:
+                # large-K grouped rolling keeps the fast refined-SM lanes by
+                # scanning sequential group blocks (the whole batch's
+                # [G, chunks, K, K] f64 P+A state is what failed to fit)
+                coefs_p = jnp.concatenate(
+                    [
+                        solve_rolling_lanes(
+                            Xp[i : i + gb], yp[i : i + gb], vp[i : i + gb],
+                            window=model_params[0],
+                            min_periods=model_params[1],
+                            alpha=model_params[2],
+                            positional=model_params[3],
+                        )
+                        for i in range(0, G, gb)
+                    ],
+                    axis=0,
+                )
+            else:
+                coefs_p = _solve_moving_blocked(
+                    solve_rolling_ols, Xp, yp, vp, G, k,
+                    window=model_params[0],
+                    min_periods=model_params[1],
+                    alpha=model_params[2],
+                    positional=model_params[3],
+                )
         if mode == "coefficients":
             return _coef_struct(_unpad_rows(layout, coefs_p), names)
         # predictions in the padded layout: K fused f64 multiply-adds (an

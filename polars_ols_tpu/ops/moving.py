@@ -23,14 +23,17 @@ Two formulations:
   states are computed exactly in f64 by a tiny prefix scan over per-chunk
   moment summaries; all (group, chunk) lanes then scan their C rows in
   parallel — sequential depth C, not N. Within the scan the inverse state
-  P advances with f32 Sherman-Morrison rank-1 updates (f32 ops run
-  ~10-40x faster than emulated f64 here) while exact moments (A, b)
-  accumulate in f64 (elementwise adds, near-bandwidth); every row's
-  coefficient is corrected with two refinement passes ``c += P (b - A c)``.
-  P is only a *preconditioner*: f32 drift, skipped downdates on singular
+  P advances with Sherman-Morrison rank-1 updates — f32 for RLS (its
+  Bayesian priors keep the warm-up well-conditioned; f32 elementwise runs
+  ~2x f64 bandwidth), f64 for rolling (its chunk-0 seed is the diffuse
+  I/reg, f32-catastrophic) — while exact moments (A, b) accumulate in f64
+  (elementwise adds, near-bandwidth); every row's coefficient is corrected
+  with two refinement passes ``c += P (b - A c)``. P is only a
+  *preconditioner*: low-precision drift, skipped downdates on singular
   leaving-rows, and approximate seeds cost convergence rate, never
   correctness. Measured error vs the exact f64 recursion: ~1e-9 relative
-  at K=100 over 512-row chunks.
+  at K=100 over 512-row chunks. Batches too large for the whole-batch
+  state scan sequential group blocks (``lanes_group_block``).
 """
 
 from __future__ import annotations
@@ -62,10 +65,6 @@ LANE_CHOL_MAX_K = int(os.environ.get("POLS_TPU_LANE_CHOL_MAX_K", "32"))
 # cap on the [C, K, K, G] f64 chunk temporaries for the column-pass tier
 # (the backend compiles ~370 MB at K=24/G=10k; beyond ~0.7 GB is untested)
 _LANE_CHOL_TEMP_BYTES = 768 * 1024 * 1024
-# rolling refined-SM needs an exact direct pass over its first chunk (see
-# _rolling_refined_sm); that pass costs ~4K column passes over [C,K,K,G], so
-# gate it to few-group shapes (the grouped small-K regime takes lane-chol)
-_ROLLING_SM_MAX_G = 4
 
 # memory budget for materialized chunk temporaries ([C, K, K, G] f64)
 _CHUNK_BYTES = 128 * 1024 * 1024
@@ -110,29 +109,24 @@ def lanes_applicable(
     """Whether the lane kernels fit this shape within memory budgets."""
     if _use_lane_chol(K, G):
         return True
-    if rolling and G > _ROLLING_SM_MAX_G:
-        return False
     ln_inv_ff = 0.0
     if half_life:
         ln_inv_ff = math.log(2.0) / half_life
-    C = _sm_chunk(R, ln_inv_ff)
+    C = min(_sm_chunk(R, ln_inv_ff), 256) if rolling else _sm_chunk(R, ln_inv_ff)
     n_chunks = -(-R // C)
-    return G * n_chunks * K * K * 12 <= _SM_STATE_BYTES
+    # per-lane scan state: K^2 P (f32 for RLS, f64 for rolling) + K^2 f64 A
+    per_lane = (16 if rolling else 12) * K * K
+    return G * n_chunks * per_lane <= _SM_STATE_BYTES
 
 
 def lanes_group_block(
     G: int, R: int, K: int, half_life=None, rolling: bool = False
 ) -> int:
     """Largest group-block size for which the lane kernels fit when the
-    whole batch does not — grouped RLS at large K keeps the fast refined-SM
-    path by scanning the group batch in sequential blocks. Returns 0 when
-    blocking cannot help (rolling refined-SM needs its exact first-chunk
-    direct pass, whose column-pass op count explodes across many blocks —
-    the classic blocked kernels cover that regime instead)."""
+    whole batch does not — grouped moving models at large K keep the fast
+    refined-SM path by scanning the group batch in sequential blocks."""
     if lanes_applicable(G, R, K, half_life, rolling):
         return G
-    if rolling:
-        return 0
     gb = 1 << (G.bit_length() - 1)
     while gb >= 16:
         if lanes_applicable(gb, R, K, half_life, rolling):
@@ -298,10 +292,6 @@ def _mv64(M: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     return (M * c[:, None, :]).sum(axis=-1)
 
 
-def _mv32(P: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    return (P * x[:, None, :]).sum(axis=-1)
-
-
 def _chol_inverse_small_batch(A: jnp.ndarray) -> jnp.ndarray:
     """Exact f64 inverse of a small batch of PD matrices [L, K, K] using the
     vectorized O(K)-pass Cholesky (no XLA custom call — those are slow on
@@ -313,40 +303,58 @@ def _chol_inverse_small_batch(A: jnp.ndarray) -> jnp.ndarray:
     return inv
 
 
-def _refined_sm_scan(xs_add, xs_sub, lam, P0, A0, b0, c0, rolling: bool):
+def _refined_sm_scan(xs_add, xs_sub, lam, P0, A0, b0, c0, rolling: bool,
+                     p_dtype=F32):
     """Core lane scan; returns [C, L, K] coefficient rows.
 
     xs_add = (X [C,L,K] f64 valid-masked, y [C,L]); xs_sub likewise for the
     rolling leaving-row stream (None for RLS). A follows the exact f64
     recursion (discounted: A_t = lam A + x x', which folds the prior —
     exactly the system the reference's Kalman P inverts,
-    src/least_squares.rs:531-540; rolling: A_t = A + x x' - xs xs')."""
+    src/least_squares.rs:531-540; rolling: A_t = A + x x' - xs xs').
+
+    ``p_dtype`` is the Sherman-Morrison P-state precision. RLS keeps f32
+    (benign Bayesian priors, ~1e-9 measured agreement); rolling uses f64 —
+    its chunk-0 seed is the diffuse I/reg (~1e10), whose SM warm-up cancels
+    catastrophically in f32 but holds ~1e-6 relative in f64 (elementwise
+    f64 is near-bandwidth on this backend), after which the exact-moment
+    refinement contracts the error to ~1e-12."""
     X, y = xs_add
-    X32 = X.astype(F32)
-    scan_in = [X32, X, y]
+    lowp = p_dtype == F32
+    scan_in = ([X.astype(F32)] if lowp else []) + [X, y]
     if rolling:
         Xs, ys = xs_sub
-        scan_in += [Xs.astype(F32), Xs, ys]
+        scan_in += ([Xs.astype(F32)] if lowp else []) + [Xs, ys]
     if lam is not None:
         scan_in.append(lam)
 
     def body(carry, xs):
         P, A, b, coef = carry
-        x32, x64, yt = xs[0], xs[1], xs[2]
+        if lowp:
+            xp, x64, yt = xs[0], xs[1], xs[2]
+            rest = xs[3:]
+        else:
+            x64, yt = xs[0], xs[1]
+            xp = x64
+            rest = xs[2:]
         lam_t = xs[-1] if lam is not None else None
-        # --- P: f32 Sherman-Morrison (+ guarded downdate for rolling) ---
-        Px = _mv32(P, x32)
+        # --- P: Sherman-Morrison (+ guarded downdate for rolling) ---
+        Px = (P * xp[:, None, :]).sum(axis=-1)
         if lam_t is not None:
-            ffv = lam_t.astype(F32)
-            r = ffv + (x32 * Px).sum(-1)
+            ffv = lam_t.astype(p_dtype)
+            r = ffv + (xp * Px).sum(-1)
             P = (P - Px[:, :, None] * (Px / r[:, None])[:, None, :]) / ffv[:, None, None]
         else:
-            r = 1.0 + (x32 * Px).sum(-1)
+            r = 1.0 + (xp * Px).sum(-1)
             P = P - Px[:, :, None] * (Px / r[:, None])[:, None, :]
         if rolling:
-            xs32, xs64, yst = xs[3], xs[4], xs[5]
-            Ps = _mv32(P, xs32)
-            den = 1.0 - (xs32 * Ps).sum(-1)
+            if lowp:
+                xsp, xs64, yst = rest[0], rest[1], rest[2]
+            else:
+                xs64, yst = rest[0], rest[1]
+                xsp = xs64
+            Ps = (P * xsp[:, None, :]).sum(axis=-1)
+            den = 1.0 - (xsp * Ps).sum(-1)
             # singular leaving rows: skip the downdate — P degrades to a
             # stale preconditioner; the f64 refinement below keeps the
             # coefficients correct (the old guard substituted den=1 and
@@ -354,6 +362,8 @@ def _refined_sm_scan(xs_add, xs_sub, lam, P0, A0, b0, c0, rolling: bool):
             safe = den > 1e-6
             upd = Ps[:, :, None] * (Ps / jnp.where(safe, den, 1.0)[:, None])[:, None, :]
             P = jnp.where(safe[:, None, None], P + upd, P)
+        else:
+            xs64 = yst = None
         # --- exact f64 state ---
         if lam_t is not None:
             A = A * lam_t[:, None, None] + x64[:, :, None] * x64[:, None, :]
@@ -368,7 +378,7 @@ def _refined_sm_scan(xs_add, xs_sub, lam, P0, A0, b0, c0, rolling: bool):
         c = coef
         for _ in range(2):
             resid = b - _mv64(A, c)
-            c = c + _mv32(P, resid.astype(F32)).astype(F64)
+            c = c + (P * resid.astype(p_dtype)[:, None, :]).sum(axis=-1).astype(F64)
         return (P, A, b, c), c
 
     (_, _, _, _), coefs = lax.scan(body, (P0, A0, b0, c0), tuple(scan_in))
@@ -512,54 +522,17 @@ def _rolling_refined_sm(Xv, yv, Xs, ys, reg, chunk: int):
     A0 = W_st + reg_l[:, None, None] * eye
     P0 = _chol_inverse_small_batch(A0)
     c0 = _mv64(P0, b_st)
+    # f64 P throughout: chunk 0 seeds from the diffuse I/reg (~1e10), whose
+    # SM warm-up is stable at f64 (and would cancel catastrophically at
+    # f32); later chunks seed from exact well-conditioned f64 inverses.
+    # (Earlier revisions carried f32 P and recomputed chunk 0 with an exact
+    # per-row direct pass — ~4K column passes per group block, which is
+    # what kept this kernel off the grouped large-K configs.)
     coefs = _refined_sm_scan(
-        (Xa, ya), (Xl, yl), None, _finite_or_zero(P0.astype(F32)), A0, b_st, c0,
-        rolling=True,
+        (Xa, ya), (Xl, yl), None, _finite_or_zero(P0), A0, b_st, c0,
+        rolling=True, p_dtype=F64,
     )
-    coefs = _from_lanes(coefs, G, n_chunks, C)  # [R, K, G]
-
-    # Chunk 0 has no established window: its P seed is the diffuse prior's
-    # huge I/reg, whose f32 Sherman-Morrison warm-up cancels catastrophically
-    # and poisons the whole first chunk. Recompute those C rows with exact
-    # f64 column-pass Cholesky solves (direct per-row, no inverse state);
-    # later chunks seed from exact well-conditioned f64 inverses and are
-    # unaffected.
-    sub = _pow2(min(C, max(8, _CHUNK_BYTES // max(1, K * K * G * 8))))
-    n_sub = C // sub
-
-    # This path runs when G is small (the gate caps it at a few groups), so
-    # the lane-major [.., G] layout would leave the VPU 99% idle for EVERY
-    # op here. Work in [G, C, K, K] instead — K (large on this path) is the
-    # minor axis — and solve with the row-major vectorized Cholesky.
-    from .linalg import _chol_solve_vectorized
-
-    Xv_g = Xv.transpose(2, 0, 1)  # [G, R, K]
-    yv_g = yv.transpose(1, 0)  # [G, R]
-    Xs_g = Xs.transpose(2, 0, 1)
-    ys_g = ys.transpose(1, 0)
-
-    def sub_body(carry, idx):
-        W_c, b_c = carry  # [G, K, K], [G, K]
-        Xa0 = lax.dynamic_slice_in_dim(Xv_g, idx * sub, sub, axis=1)  # [G,C,K]
-        ya0 = lax.dynamic_slice_in_dim(yv_g, idx * sub, sub, axis=1)  # [G,C]
-        Xl0 = lax.dynamic_slice_in_dim(Xs_g, idx * sub, sub, axis=1)
-        yl0 = lax.dynamic_slice_in_dim(ys_g, idx * sub, sub, axis=1)
-        dU = (
-            Xa0[:, :, :, None] * Xa0[:, :, None, :]
-            - Xl0[:, :, :, None] * Xl0[:, :, None, :]
-        )  # [G, C, K, K]
-        du = Xa0 * ya0[:, :, None] - Xl0 * yl0[:, :, None]  # [G, C, K]
-        W_t = W_c[:, None] + jnp.cumsum(dU, axis=1)
-        b_t = b_c[:, None] + jnp.cumsum(du, axis=1)
-        A_t = W_t + reg[:, None, None, None] * eye
-        sol, _ = _chol_solve_vectorized(A_t, b_t[..., None])  # [G, C, K, 1]
-        coef = sol[..., 0].transpose(1, 2, 0)  # [C, K, G]
-        return (W_t[:, -1], b_t[:, -1]), coef
-
-    carry0 = (jnp.zeros((G, K, K), F64), jnp.zeros((G, K), F64))
-    _, head = lax.scan(sub_body, carry0, jnp.arange(n_sub))
-    head = head.reshape(C, K, G)
-    return jnp.concatenate([head, coefs[C:]], axis=0)
+    return _from_lanes(coefs, G, n_chunks, C)  # [R, K, G]
 
 
 # --------------------------------------------------------------------------- #
@@ -635,9 +608,9 @@ def solve_rolling_lanes(
     if min_periods is None:
         min_periods = min(K, window)
 
-    # rolling refined-SM pays an exact direct pass over chunk 0 whose cost
-    # is linear in the chunk length (op-count-bound column-pass Cholesky);
-    # 256-row chunks halve it while the lane scan stays parallel
+    # 256-row chunks bound the f64 P+A scan state per lane while keeping
+    # the sequential depth short (total steps across group blocks are
+    # invariant in C; smaller C trades state for lanes)
     chunk = (
         _chol_chunk(K, G) if _use_lane_chol(K, G) else min(_sm_chunk(R), 256)
     )

@@ -107,6 +107,82 @@ def test_classic_moving_group_blocking_parity(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
 
 
+def test_rolling_refined_sm_grouped_largek():
+    """Grouped rolling at K > 32 (beyond the lane-chol tier) rides the
+    refined-SM lanes with an f64 P-state: the diffuse chunk-0 seed is
+    f64-stable, so many-group batches no longer need a per-group direct
+    pass (the reference's Woodbury path covers every K uniformly,
+    src/least_squares.rs:848-1032)."""
+    from polars_ols_tpu.ops.moving import _use_lane_chol, solve_rolling_lanes
+
+    rng = np.random.default_rng(21)
+    G, R, K = 10, 192, 40
+    W, MP = 96, 44
+    assert not _use_lane_chol(K, G)  # must exercise refined-SM
+    X = rng.normal(size=(G, R, K))
+    beta_true = rng.normal(size=(G, K))
+    y = np.einsum("grk,gk->gr", X, beta_true) + rng.normal(size=(G, R)) * 0.1
+    v = rng.random((G, R)) > 0.08
+    X = X * v[..., None]
+    y = y * v
+    out = np.asarray(
+        solve_rolling_lanes(
+            jnp.asarray(X), jnp.asarray(y), jnp.asarray(v),
+            window=W, min_periods=MP, alpha=0.0, positional=False,
+        )
+    )
+    scale = float(np.mean(X * X) * min(W, R))
+    for g in (0, 4, G - 1):
+        valid_idx = np.flatnonzero(v[g])
+        for t in (MP + 20, R // 2, R - 1):
+            upto = valid_idx[valid_idx <= t]
+            if len(upto) < MP:
+                continue
+            rows = upto[-W:]
+            Xw, yw = X[g][rows], y[g][rows]
+            beta = np.linalg.solve(
+                Xw.T @ Xw + 1e-10 * scale * np.eye(K), Xw.T @ yw
+            )
+            np.testing.assert_allclose(out[g, t], beta, rtol=2e-5, atol=2e-5)
+
+
+def test_rolling_blocked_lanes_parity(monkeypatch):
+    """Grouped rolling whose whole-batch lane state exceeds the memory
+    budget runs refined-SM over sequential group blocks; output must match
+    the classic kernels (mirror of the RLS test below)."""
+    import polars_ols_tpu.ops.moving as moving
+    from polars_ols_tpu.config import CONFIG
+
+    rng = np.random.default_rng(13)
+    n, G, K = 6_000, 48, 4
+    X = rng.normal(size=(n, K))
+    y = X @ rng.normal(size=K) + rng.normal(size=n) * 0.1
+    d = {f"x{i}": X[:, i] for i in range(K)}
+    d["y"] = y
+    d["g"] = rng.integers(G, size=n).astype(float)
+    df = pot.DataFrame(d)
+    feats = [col(f"x{i}") for i in range(K)]
+
+    def run():
+        pot.clear_caches()
+        return df.select(
+            col("y").least_squares.rolling_ols(*feats, window_size=60)
+            .over("g").alias("p")
+        )["p"].to_numpy()
+
+    base = run()  # classic kernels (CPU default)
+    monkeypatch.setattr(moving, "LANE_CHOL_UNROLL_MAX_K", 2)
+    monkeypatch.setattr(moving, "LANE_CHOL_MAX_K", 2)
+    monkeypatch.setattr(moving, "_SM_STATE_BYTES", 9_000)
+    monkeypatch.setattr(CONFIG, "_moving_lanes", True)
+    R_pad = -(-int(np.bincount(d["g"].astype(int)).max()) // 256) * 256
+    gb = moving.lanes_group_block(G, R_pad, K, None, rolling=True)
+    assert gb not in (0, G)
+    blocked = run()
+    monkeypatch.setattr(CONFIG, "_moving_lanes", False)
+    np.testing.assert_allclose(blocked, base, rtol=1e-6, atol=1e-8, equal_nan=True)
+
+
 def test_rls_blocked_lanes_parity(monkeypatch):
     """Grouped RLS whose whole-batch lane state exceeds the memory budget
     runs the fast refined-SM kernels over sequential group blocks; output
