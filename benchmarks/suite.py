@@ -115,7 +115,7 @@ def _queries(df, k: int, grouped: bool):
     return out
 
 
-def run_config(name: str, n: int, k: int, n_groups=None):
+def run_config(name: str, n: int, k: int, n_groups=None, models=None):
     grouped = n_groups is not None
     df = _make_df(n, k, n_groups)
     ref = REFERENCE_MS.get(name, {})
@@ -123,7 +123,10 @@ def run_config(name: str, n: int, k: int, n_groups=None):
           + (f" groups={n_groups:,}" if grouped else ""))
     print(f"{'model':<14} {'min':>10} {'median':>10} {'IQR':>8} "
           f"{'reference':>10} {'speedup':>9}")
-    for model, fn in _queries(df, k, grouped).items():
+    queries = _queries(df, k, grouped)
+    if models is not None:
+        queries = {m: queries[m] for m in models}
+    for model, fn in queries.items():
         try:
             pls.clear_caches()  # release device caches between families
             mn, med, iqr = (v * 1e3 for v in _time(fn))
@@ -139,7 +142,7 @@ def run_config(name: str, n: int, k: int, n_groups=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="all",
-                    choices=["small", "large", "grouped", "all"])
+                    choices=["small", "large", "grouped", "grouped_largek", "all"])
     args = ap.parse_args()
     if args.config in ("small", "all"):
         run_config("small", 2_000, 5)
@@ -147,6 +150,14 @@ def main():
         run_config("large", 10_000, 100)
     if args.config in ("grouped", "all"):
         run_config("grouped", 2_000_000, 5, n_groups=10_000)
+    if args.config in ("grouped_largek", "all"):
+        # grouped moving models beyond the lane-chol tier (K > 32): the
+        # refined-SM group-block path (the reference covers this regime
+        # with its per-group Woodbury loop, src/least_squares.rs:848-1032)
+        run_config(
+            "grouped_largek", 500_000, 40, n_groups=1_000,
+            models=["rls", "rolling"],
+        )
 
 
 if __name__ == "__main__":
