@@ -610,9 +610,6 @@ def _sharded_static(
             "device (heavy-group row splits apply only to moment paths)"
         )
         return None
-    if mode == "statistics" and cd_params is not None:
-        logger.info("auto_shard: statistics+CD falls back to single device")
-        return None
     from ..parallel import (
         fit_moments_sharded,
         make_mesh,
@@ -635,7 +632,8 @@ def _sharded_static(
     gids = layout.device_gids()
     if mode == "statistics":
         out = statistics_moments_sharded(
-            mesh, X_fit, y_fit, wmask, gids, num_groups=G, alpha=alpha
+            mesh, X_fit, y_fit, wmask, gids, num_groups=G, alpha=alpha,
+            cd_params=cd_params,
         )
         return _statistics_series(out, names, layout, layout_in)
     beta, preds = fit_moments_sharded(

@@ -250,12 +250,19 @@ def statistics_moments_sharded(
     num_groups: int,
     alpha: float = 0.0,
     row_axes=None,
+    cd_params: Optional[Tuple[float, int, float, bool]] = None,
 ):
     """Distributed mode='statistics': moments merge with psum_scatter, each
     shard solves + computes feature metrics for its 1/n slice of groups,
     per-row residual partials (RSS/SAE/SST from *rows*, not moment
     identities) psum-merge, and the finished [G]-shaped metric arrays are
-    all_gathered back. Returns a dict of replicated [G(,K)] arrays."""
+    all_gathered back. Returns a dict of replicated [G(,K)] arrays.
+
+    With ``cd_params`` the reported coefficients and residual metrics come
+    from shard-local covariance-form coordinate descent (lasso/enet/NNLS)
+    while se/t/p keep the normal-equation recompute — mirroring the
+    single-device `_blocks_statistics_kernel` and the reference's
+    src/statistics.rs:116 semantics."""
     from ..ops.statistics import feature_metrics
 
     if row_axes is None:
@@ -293,8 +300,22 @@ def statistics_moments_sharded(
         )
         xtx_s = lax.psum_scatter(xtx, row_axes, scatter_dimension=0, tiled=True)
         xty_s = lax.psum_scatter(xty, row_axes, scatter_dimension=0, tiled=True)
+        idx0 = _linear_axis_index(row_axes, mesh) * (Gp // n_shards)
+        counts_s = lax.dynamic_slice_in_dim(counts, idx0, Gp // n_shards)
         A = xtx_s + jnp.asarray(alpha, F64) * jnp.eye(K, dtype=F64)
-        beta_local = solve_psd(A, xty_s)
+        beta_ne_local = solve_psd(A, xty_s)
+        if cd_params is not None:
+            from ..ops.cd import solve_elastic_net_cov
+
+            l1_ratio, max_iter, tol, positive = cd_params[:4]
+            active_set = bool(cd_params[4]) if len(cd_params) > 4 else False
+            beta_local = solve_elastic_net_cov(
+                xtx_s, xty_s, counts_s, alpha=alpha, l1_ratio=l1_ratio,
+                max_iter=max_iter, tol=tol, positive=positive,
+                active_set=active_set,
+            )
+        else:
+            beta_local = beta_ne_local
         beta = lax.all_gather(beta_local, row_axes, axis=0, tiled=True)  # [Gp, K]
         # per-row residual partials with the replicated beta
         resid = (yl - jnp.einsum("nk,nk->n", Xl, jnp.take(beta, gl, axis=0))) * wf
@@ -310,9 +331,20 @@ def statistics_moments_sharded(
         sst = lax.psum(
             jax.ops.segment_sum(dev * dev, gl, num_segments=Gp), row_axes
         )
-        idx0 = _linear_axis_index(row_axes, mesh) * (Gp // n_shards)
-        rss_s = lax.dynamic_slice_in_dim(rss, idx0, Gp // n_shards)
-        counts_s = lax.dynamic_slice_in_dim(counts, idx0, Gp // n_shards)
+        if cd_params is not None:
+            # se/t/p derive from the normal-equation RSS (the reference
+            # recomputes beta from the normal equations, statistics.rs:116)
+            beta_ne = lax.all_gather(beta_ne_local, row_axes, axis=0, tiled=True)
+            resid_ne = (
+                yl - jnp.einsum("nk,nk->n", Xl, jnp.take(beta_ne, gl, axis=0))
+            ) * wf
+            rss_ne = lax.psum(
+                jax.ops.segment_sum(resid_ne * resid_ne, gl, num_segments=Gp),
+                row_axes,
+            )
+        else:
+            rss_ne = rss
+        rss_s = lax.dynamic_slice_in_dim(rss_ne, idx0, Gp // n_shards)
         fm = feature_metrics(xtx_s, xty_s, rss_s, counts_s, alpha)
         gath = lambda a: lax.all_gather(a, row_axes, axis=0, tiled=True)
         return (

@@ -131,6 +131,26 @@ def test_sharded_coefficients_and_statistics():
         np.testing.assert_allclose(s["p_values"], s1["p_values"], rtol=1e-6, atol=1e-12)
 
 
+def test_sharded_cd_statistics():
+    """mode='statistics' with a coordinate-descent solver (lasso) shards:
+    CD coefficients + residual metrics, normal-equation se/t/p — matching
+    the single-device kernel (previously a logged fallback)."""
+    df = _frame()
+    expr = ls.lasso(col("x1"), col("x2"), alpha=0.001, mode="statistics").over("g")
+    CONFIG.auto_shard = True
+    try:
+        stats = df.select(expr)["statistics"].to_list()
+    finally:
+        CONFIG.auto_shard = False
+    stats_1 = df.select(expr)["statistics"].to_list()
+    for s, s1 in zip(stats, stats_1):
+        for key in ("r2", "mse", "mae"):
+            assert s[key] == pytest.approx(s1[key], rel=1e-7)
+        np.testing.assert_allclose(s["coefficients"], s1["coefficients"], rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(s["standard_errors"], s1["standard_errors"], rtol=1e-7)
+        np.testing.assert_allclose(s["p_values"], s1["p_values"], rtol=1e-6, atol=1e-12)
+
+
 def test_sharded_near_collinear_refinement():
     """The distributed normal-equation solve must run the same CSNE
     refinement as the single-device engine on ill-conditioned groups."""
