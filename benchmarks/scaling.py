@@ -23,14 +23,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS environment variable, so a
+# CPU-mesh run must force the backend through jax.config before any
+# computation (same trick as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
 
 from polars_ols_tpu.parallel import (  # noqa: E402
     fit_moments_sharded,
     make_mesh,
     solve_groups_sharded,
 )
+from polars_ols_tpu.parallel.sharded import (  # noqa: E402
+    mesh_row_axes,
+    shard_group_axis,
+)
 from polars_ols_tpu.ops.moving import solve_rolling_lanes  # noqa: E402
+from functools import partial  # noqa: E402
 
 
 import re
@@ -120,7 +133,7 @@ def main():
     vm = jnp.ones((Gm, R), dtype=bool)
 
     print(f"\n# rolling OLS (lane kernels): {Gm:,} groups x {R} rows x {Km} feats")
-    print(f"{'devices':>8} {'ms':>10} {'rows/s':>14} {'efficiency':>11}")
+    print(f"{'devices':>8} {'ms':>10} {'rows/s':>14} {'efficiency':>11} {'comm':>10}")
     base = None
     for s in sizes:
         mesh = make_mesh(s)
@@ -131,10 +144,22 @@ def main():
             ),
             reps=3,
         )
+        # whole-group solvers shard the batch axis with ZERO collectives —
+        # measure it rather than assert it
+        placed, _ = shard_group_axis(mesh, (Xm, ym, vm))
+        lowered = jax.jit(
+            partial(
+                solve_rolling_lanes,
+                window=60, min_periods=4, alpha=0.0, positional=True,
+            ),
+            out_shardings=NamedSharding(mesh, PartitionSpec(mesh_row_axes(mesh))),
+        ).lower(*placed)
+        comm = collective_bytes(lowered.compile().as_text())
         rps = Gm * R / dt
         base = base or rps
         eff = rps / (base * s)
-        print(f"{s:>8} {dt*1e3:>9.1f} {rps:>14,.0f} {eff:>10.1%}")
+        print(f"{s:>8} {dt*1e3:>9.1f} {rps:>14,.0f} {eff:>10.1%} "
+              f"{comm / 1e6:>8.2f}MB")
 
 
 if __name__ == "__main__":
