@@ -11,6 +11,7 @@ from .sharded import (
     make_mesh,
     mesh_row_axes,
     shard_group_axis,
+    shuffle_rows_to_groups,
     solve_groups_sharded,
     statistics_moments_sharded,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "make_mesh",
     "mesh_row_axes",
     "shard_group_axis",
+    "shuffle_rows_to_groups",
     "solve_groups_sharded",
     "statistics_moments_sharded",
 ]

@@ -22,8 +22,15 @@ TPU-native replacement built here scales the *group batch axis* across a
   with the leading group axis sharded over the mesh — embarrassingly
   parallel, zero collectives after the initial placement.
 
-Communication rides ICI: the only traffic is ``[G, K, K]`` moments and
-``[G, K]`` coefficients, never the ``[N, K]`` row data.
+* **All-to-all row shuffle** (`shuffle_rows_to_groups`): when rows arrive
+  data-parallel (distributed ingest) but a whole-group solver is needed,
+  one ``lax.all_to_all`` routes every row to its group's home shard and
+  assembles the padded layout there, preserving global row order inside
+  each group (scan time order).
+
+Communication rides ICI: the moments path moves only ``[G, K, K]`` moments
+and ``[G, K]`` coefficients, never the ``[N, K]`` row data; the shuffle
+path moves each row exactly once.
 """
 
 from __future__ import annotations
@@ -392,6 +399,147 @@ def shard_group_axis(mesh: Mesh, arrays, group_axes=None):
         ap = _pad_to(a, Gp)
         placed.append(jax.device_put(ap, NamedSharding(mesh, spec)))
     return placed, G
+
+
+def shuffle_rows_to_groups(
+    mesh: Mesh,
+    X: jnp.ndarray,  # [N, K]
+    y: jnp.ndarray,  # [N]
+    w: jnp.ndarray,  # [N] bool validity (invalid rows keep their position)
+    gids: jnp.ndarray,  # [N] int group ids
+    num_groups: int,
+    row_axes=None,
+    rows_per_group: Optional[int] = None,
+    capacity: Optional[int] = None,
+):
+    """Device-side all-to-all shuffle of rows to group-home shards.
+
+    The whole-group solvers (scans, minimum-norm SVD, coordinate descent)
+    need each group's rows contiguous on one shard. When rows arrive
+    data-parallel (block-sharded in ingest order), this routes them with ONE
+    ``lax.all_to_all`` — the hash-shuffle communication pattern SURVEY §2.3
+    / §5 name for the distributed backend — and assembles the standard
+    padded ``[G, R]`` whole-group layout on the receiving shards, rows
+    ordered by global row index (time order, as the RLS/rolling scans
+    require; reference analog: polars' own row dispatch into per-group
+    plugin calls, README:19).
+
+    Group ``g``'s home shard is ``g // (G_padded / n_shards)`` — the same
+    block assignment ``psum_scatter(scatter_dimension=0, tiled=True)``
+    produces, so moments-path and shuffle-path shards agree.
+
+    Returns ``(Xg [Gp, R, K], yg [Gp, R], vg [Gp, R] bool, G)`` with the
+    leading group axis sharded over ``row_axes``; padding slots have
+    ``vg=False`` and zeroed values. ``rows_per_group`` / ``capacity``
+    (max rows any single (src shard → dest shard) pair exchanges) are
+    computed exactly from host-visible gids by default; a true multi-process
+    ingest, where no host sees all gids, must supply both explicitly — the
+    shuffle program itself is pure device collectives.
+    """
+    if row_axes is None:
+        row_axes = mesh_row_axes(mesh)
+    n = _mesh_size(mesh, row_axes)
+    N, K = X.shape
+    Np = -(-N // n) * n
+    L = Np // n  # rows per shard
+    Gp = -(-num_groups // n) * n
+    gps = Gp // n  # groups per shard
+
+    g_host = np.asarray(gids, dtype=np.int64)
+    dest_host = g_host // gps
+    if capacity is None:
+        src_host = np.arange(N, dtype=np.int64) // L
+        pair = np.bincount(src_host * n + dest_host, minlength=n * n)
+        from ..engine.groups import bucket_size
+
+        capacity = bucket_size(max(int(pair.max()), 1))
+    if rows_per_group is None:
+        from ..engine.groups import bucket_size
+
+        rows_per_group = bucket_size(
+            max(int(np.bincount(g_host, minlength=num_groups).max()), 1)
+        )
+    C, R = int(capacity), int(rows_per_group)
+
+    Xp = _pad_to(X.astype(F64), Np)
+    yp = _pad_to(y.astype(F64), Np)
+    wp = _pad_to(w.astype(bool), Np)
+    gp = _pad_to(jnp.asarray(gids, dtype=jnp.int32), Np)
+    # present=0 marks N..Np padding; real rows carry their global index so
+    # the receiving shard can restore time order within each group
+    present = (jnp.arange(Np) < N).astype(F64)
+    ridx = jnp.arange(Np, dtype=F64)
+
+    row_spec = P(row_axes)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(row_spec,) * 6,
+        out_specs=(row_spec, row_spec, row_spec),
+    )
+    def step(Xl, yl, wl, gl, pl, il):
+        # ---- send side: bucket local rows by destination shard ----
+        dest = jnp.where(pl > 0, gl.astype(jnp.int64) // gps, n)  # pad -> n
+        order = jnp.argsort(dest, stable=True)  # global order kept per dest
+        dsort = jnp.take(dest, order)
+        cnt = jax.ops.segment_sum(jnp.ones(L, F64), dsort, num_segments=n + 1)
+        first = jnp.concatenate(
+            [jnp.zeros(1, F64), jnp.cumsum(cnt)[:-1]]
+        ).astype(jnp.int64)
+        pos = jnp.arange(L, dtype=jnp.int64) - jnp.take(first, dsort)
+        # packed row record: [present, ridx, gid, w, y, X...]
+        rec = jnp.concatenate(
+            [
+                jnp.take(pl, order)[:, None],
+                jnp.take(il, order)[:, None],
+                jnp.take(gl, order).astype(F64)[:, None],
+                jnp.take(wl, order).astype(F64)[:, None],
+                jnp.take(yl, order)[:, None],
+                jnp.take(Xl, order, axis=0),
+            ],
+            axis=1,
+        )
+        buf = jnp.zeros((n, C, K + 5), F64)
+        ok = (dsort < n) & (pos < C)
+        # not-ok rows scatter out of bounds and are dropped (never clamp to a
+        # real slot: a duplicate-index write could clobber a genuine row)
+        buf = buf.at[jnp.where(ok, dsort, n), jnp.where(ok, pos, C)].set(
+            rec, mode="drop"
+        )
+        # ---- the one collective: block j of buf -> shard j ----
+        recv = lax.all_to_all(
+            buf, row_axes, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(n * C, K + 5)
+        # ---- receive side: assemble the padded [gps, R] group layout ----
+        here = recv[:, 0] > 0
+        lg = jnp.where(
+            here, recv[:, 2].astype(jnp.int64) - _linear_axis_index(row_axes, mesh) * gps, gps
+        )
+        # sort by (local group, global row index): per-group runs in time order
+        key = lg.astype(F64) * (Np + 1) + jnp.where(here, recv[:, 1], 0.0)
+        r_order = jnp.argsort(key, stable=True)
+        lgs = jnp.take(lg, r_order)
+        rcnt = jax.ops.segment_sum(
+            jnp.ones(n * C, F64), lgs, num_segments=gps + 1
+        )
+        rfirst = jnp.concatenate(
+            [jnp.zeros(1, F64), jnp.cumsum(rcnt)[:-1]]
+        ).astype(jnp.int64)
+        rpos = jnp.arange(n * C, dtype=jnp.int64) - jnp.take(rfirst, lgs)
+        rrec = jnp.take(recv, r_order, axis=0)
+        rok = (lgs < gps) & (rpos < R) & (rrec[:, 0] > 0)
+        sg = jnp.where(rok, lgs, gps)  # out of bounds -> dropped
+        sp = jnp.where(rok, rpos, R)
+        Xg = jnp.zeros((gps, R, K), F64).at[sg, sp].set(rrec[:, 5:], mode="drop")
+        yg = jnp.zeros((gps, R), F64).at[sg, sp].set(rrec[:, 4], mode="drop")
+        vg = jnp.zeros((gps, R), bool).at[sg, sp].set(
+            rrec[:, 3] > 0, mode="drop"
+        )
+        return Xg, yg, vg
+
+    Xg, yg, vg = step(Xp, yp, wp, gp, present, ridx)
+    return Xg, yg, vg, num_groups
 
 
 def solve_groups_sharded(mesh: Mesh, solver, arrays, group_axes=None, **solver_kwargs):

@@ -193,3 +193,90 @@ def test_make_mesh_multiprocess_topology(monkeypatch):
         m = gids == g
         ref = np.linalg.lstsq(X[m], y[m], rcond=None)[0]
         np.testing.assert_allclose(np.asarray(beta)[g], ref, atol=1e-9)
+
+
+def _expected_group_layout(X, y, w, gids, G, R):
+    """Host oracle for the shuffled whole-group layout: each group's rows in
+    global row order, padding slots invalid."""
+    K = X.shape[1]
+    Xg = np.zeros((G, R, K))
+    yg = np.zeros((G, R))
+    vg = np.zeros((G, R), dtype=bool)
+    for g in range(G):
+        rows = np.flatnonzero(gids == g)
+        Xg[g, : len(rows)] = X[rows]
+        yg[g, : len(rows)] = y[rows]
+        vg[g, : len(rows)] = w[rows]
+    return Xg, yg, vg
+
+
+@pytest.mark.parametrize(
+    "n_devices,axes,shape",
+    [(1, None, None), (4, None, None), (8, None, None),
+     (8, ("hosts", "chips"), (4, 2))],
+)
+def test_shuffle_rows_to_groups_matches_host_layout(n_devices, axes, shape):
+    """The device-side all-to-all row shuffle must reproduce the host-built
+    padded whole-group layout exactly: per-group rows in global row order
+    (the scan solvers' time order), validity carried, padding invalid."""
+    from polars_ols_tpu.parallel import shuffle_rows_to_groups
+
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(7)
+    N, K, G = 501, 3, 13
+    X = rng.normal(size=(N, K))
+    y = rng.normal(size=N)
+    w = rng.random(N) > 0.1  # some invalid rows keep their slots
+    gids = rng.integers(G, size=N)
+    mesh = make_mesh(n_devices, axis_names=axes, shape=shape)
+    Xg, yg, vg, g_out = shuffle_rows_to_groups(
+        mesh,
+        jnp.asarray(X),
+        jnp.asarray(y),
+        jnp.asarray(w),
+        jnp.asarray(gids),
+        num_groups=G,
+    )
+    assert g_out == G
+    Xg, yg, vg = np.asarray(Xg), np.asarray(yg), np.asarray(vg)
+    R = Xg.shape[1]
+    Xe, ye, ve = _expected_group_layout(X, y, w, gids, G, R)
+    np.testing.assert_array_equal(vg[:G], ve)
+    np.testing.assert_array_equal(Xg[:G], Xe)
+    np.testing.assert_array_equal(yg[:G], ye)
+    # padding groups beyond G are fully invalid
+    assert not vg[G:].any()
+
+
+def test_shuffle_rows_feed_scan_solver():
+    """End to end: data-parallel rows -> all-to-all shuffle -> group-sharded
+    RLS scan equals the single-device solve on the host-built layout."""
+    from polars_ols_tpu.ops.moving import solve_recursive_lanes
+    from polars_ols_tpu.parallel import shuffle_rows_to_groups
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(11)
+    N, K, G = 640, 2, 8
+    X = rng.normal(size=(N, K))
+    gids = rng.integers(G, size=N)
+    beta_g = rng.normal(size=(G, K))
+    y = np.einsum("nk,nk->n", X, beta_g[gids]) + 0.01 * rng.normal(size=N)
+    w = np.ones(N, dtype=bool)
+    mesh = make_mesh(8)
+    Xg, yg, vg, _ = shuffle_rows_to_groups(
+        mesh, jnp.asarray(X), jnp.asarray(y), jnp.asarray(w),
+        jnp.asarray(gids), num_groups=G,
+    )
+    kw = dict(half_life=None, initial_state_covariance=10.0,
+              initial_state_mean=None)
+    sharded = np.asarray(jax.jit(
+        lambda a, b, c: solve_recursive_lanes(a, b, c, **kw)
+    )(Xg, yg, vg))[:G]
+    R = Xg.shape[1]
+    Xe, ye, ve = _expected_group_layout(X, y, w, gids, G, R)
+    single = np.asarray(solve_recursive_lanes(
+        jnp.asarray(Xe), jnp.asarray(ye), jnp.asarray(ve), **kw
+    ))
+    np.testing.assert_allclose(sharded, single, rtol=1e-12, atol=1e-12)
