@@ -698,10 +698,19 @@ def _solve_moving_blocked(solver, Xp, yp, vp, G: int, k: int, **params):
     Gb = _moving_group_block(G, k)
     if G <= Gb:
         return solver(Xp, yp, vp, chunk=_pick_chunk(G, k), **params)
-    chunk = _pick_chunk(Gb, k)
+    return _solve_lanes_blocked(
+        solver, Xp, yp, vp, G, Gb, chunk=_pick_chunk(Gb, k), **params
+    )
+
+
+def _solve_lanes_blocked(solver, Xp, yp, vp, G: int, gb: int, **params):
+    """Run a batched moving solver over sequential group blocks of size
+    ``gb`` and concatenate — used when the whole batch's scan state would
+    overflow the backend budget. Equal-size blocks share one compiled
+    program; the remainder block (if any) compiles once more."""
     parts = [
-        solver(Xp[i : i + Gb], yp[i : i + Gb], vp[i : i + Gb], chunk=chunk, **params)
-        for i in range(0, G, Gb)
+        solver(Xp[i : i + gb], yp[i : i + gb], vp[i : i + gb], **params)
+        for i in range(0, G, gb)
     ]
     return jnp.concatenate(parts, axis=0)
 
@@ -1414,17 +1423,11 @@ def evaluate_least_squares(
                     # large-K grouped RLS keeps the fast refined-SM lanes by
                     # scanning sequential group blocks (the whole batch's
                     # [G, chunks, K, K] state is what failed to fit)
-                    coefs_p = jnp.concatenate(
-                        [
-                            solve_recursive_lanes(
-                                Xp[i : i + gb], yp[i : i + gb], vp[i : i + gb],
-                                half_life=kwargs.half_life,
-                                initial_state_covariance=c0,
-                                initial_state_mean=mean0,
-                            )
-                            for i in range(0, G, gb)
-                        ],
-                        axis=0,
+                    coefs_p = _solve_lanes_blocked(
+                        solve_recursive_lanes, Xp, yp, vp, G, gb,
+                        half_life=kwargs.half_life,
+                        initial_state_covariance=c0,
+                        initial_state_mean=mean0,
                     )
                 else:
                     coefs_p = _solve_moving_blocked(
@@ -1463,18 +1466,12 @@ def evaluate_least_squares(
                 # large-K grouped rolling keeps the fast refined-SM lanes by
                 # scanning sequential group blocks (the whole batch's
                 # [G, chunks, K, K] f64 P+A state is what failed to fit)
-                coefs_p = jnp.concatenate(
-                    [
-                        solve_rolling_lanes(
-                            Xp[i : i + gb], yp[i : i + gb], vp[i : i + gb],
-                            window=model_params[0],
-                            min_periods=model_params[1],
-                            alpha=model_params[2],
-                            positional=model_params[3],
-                        )
-                        for i in range(0, G, gb)
-                    ],
-                    axis=0,
+                coefs_p = _solve_lanes_blocked(
+                    solve_rolling_lanes, Xp, yp, vp, G, gb,
+                    window=model_params[0],
+                    min_periods=model_params[1],
+                    alpha=model_params[2],
+                    positional=model_params[3],
                 )
             else:
                 coefs_p = _solve_moving_blocked(

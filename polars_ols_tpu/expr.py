@@ -101,6 +101,15 @@ class Expr:
     def __invert__(self):
         return UnaryExpr("not", self)
 
+    def __bool__(self):
+        # `expr == other` builds a BinExpr, so a bare truth test (`if e1 ==
+        # e2:`, `e in exprs`) would otherwise silently evaluate True via
+        # object truthiness — raise like polars does instead.
+        raise TypeError(
+            "the truth value of an Expr is ambiguous; to combine or compare "
+            "expressions use &, |, ==, etc. and evaluate through a frame"
+        )
+
     def add(self, other):
         return self.__add__(other)
 

@@ -305,6 +305,12 @@ class DataFrame:
                 else:
                     for fk in c.SCALAR_FIELDS:
                         keys.append(np.asarray(c.arrays[fk]))
+                    for fk in c.LIST_FIELDS:
+                        # rows can tie exactly on the scalar metrics (e.g.
+                        # two exact-fit groups both at r2=1, mae=mse=0) while
+                        # differing in coefficients — key every field
+                        m = np.asarray(c.arrays[fk])
+                        keys.extend(m[:, j] for j in range(m.shape[1]))
             else:  # ObjectSeries
                 keys.append(np.asarray([repr(v) for v in c.values]))
         rec = keys[0] if len(keys) == 1 else np.rec.fromarrays(keys)
@@ -338,7 +344,15 @@ class DataFrame:
             arrays.append(_factorize_numeric(v).astype(np.int64))
         combined = arrays[0]
         for a in arrays[1:]:
-            combined = combined * (int(a.max(initial=0)) + 1) + a
+            radix = int(a.max(initial=0)) + 1
+            if int(combined.max(initial=0)) > (2**62) // radix:
+                # the mixed-radix code would overflow int64 (numpy wraps
+                # silently, colliding distinct key tuples) — compact the
+                # running code to dense [0, n_distinct) first
+                combined = _factorize_numeric(combined).astype(np.int64)
+                if int(combined.max(initial=0)) > (2**62) // radix:
+                    return None  # still too wide: generic sort-merge path
+            combined = combined * radix + a
         if len(arrays) > 1:
             combined = _factorize_numeric(combined)
         return combined[: self.height], combined[self.height :]

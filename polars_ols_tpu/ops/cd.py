@@ -80,6 +80,22 @@ def _cd_single(
     return w
 
 
+def _coord_update(XtX, Xty, a_l1, a_l2, positive):
+    """The reference's cyclic coordinate update on the covariance form
+    (src/least_squares.rs:423-434): w_j <- S(x_j'r + XtX_jj w_j, a_l1) /
+    (XtX_jj + a_l2). Shared by the cyclic solver and the FISTA polish so
+    the two paths can never diverge on the update rule."""
+    diag = jnp.diagonal(XtX)
+
+    def update(j, w):
+        # x_j^T r + XtX_jj w_j  ==  Xty_j - (XtX w)_j + XtX_jj w_j
+        rho = Xty[j] - jnp.dot(XtX[j], w) + diag[j] * w[j]
+        denom = diag[j] + a_l2
+        return _soft_threshold(rho, a_l1, positive) / jnp.where(denom > 0, denom, 1.0)
+
+    return update
+
+
 def _cd_cov_single(
     XtX: jnp.ndarray,  # [K, K]
     Xty: jnp.ndarray,  # [K]
@@ -95,14 +111,11 @@ def _cd_cov_single(
     a = alpha * jnp.maximum(n_valid, 1.0)
     a_l1 = a * l1_ratio
     a_l2 = a * (1.0 - l1_ratio)
-    diag = jnp.diagonal(XtX)
+    update = _coord_update(XtX, Xty, a_l1, a_l2, positive)
 
     def coord_body(j, carry):
         w, active = carry
-        # x_j^T r + XtX_jj w_j  ==  Xty_j - (XtX w)_j + XtX_jj w_j
-        rho = Xty[j] - jnp.dot(XtX[j], w) + diag[j] * w[j]
-        denom = diag[j] + a_l2
-        w_j = _soft_threshold(rho, a_l1, positive) / jnp.where(denom > 0, denom, 1.0)
+        w_j = update(j, w)
         if active_set:
             # frozen coordinates keep their last value; a coordinate whose
             # update lands below tol is removed from every later sweep
@@ -200,13 +213,10 @@ def _cd_cov_single_fista(
     )
 
     # two exact cyclic sweeps at the reference's own coordinate update
-    diag = jnp.diagonal(XtX)
+    update = _coord_update(XtX, Xty, a_l1, a_l2, positive)
 
     def coord_body(j, w):
-        rho = Xty[j] - jnp.dot(XtX[j], w) + diag[j] * w[j]
-        denom = diag[j] + a_l2
-        w_j = _soft_threshold(rho, a_l1, positive) / jnp.where(denom > 0, denom, 1.0)
-        return w.at[j].set(w_j)
+        return w.at[j].set(update(j, w))
 
     for _ in range(2):
         w = lax.fori_loop(0, K, coord_body, w)

@@ -349,6 +349,10 @@ def test_coefficients_shape_broadcast():
     [
         (2, 0.0, 0.1, "cd"),
         (20, 0.5, 0.3, "cd"),
+        # K >= _FISTA_MIN_K: plain 'cd' dispatches to the FISTA + CD-polish
+        # path (ops/cd.py) — keep it oracle-covered, not just active-set
+        (50, 0.5, 0.3, "cd"),
+        (100, 0.9, 0.3, "cd"),
         (100, 0.9, 0.3, "cd_active_set"),
     ],
 )
