@@ -18,6 +18,14 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here so
+# the suite can run on a CPU mesh (same trick as tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import polars_ols_tpu as pls  # noqa: E402
 from polars_ols_tpu import col
 
@@ -143,7 +151,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="all",
                     choices=["small", "large", "grouped", "grouped_largek", "all"])
+    ap.add_argument("--count-compiles", action="store_true",
+                    help="report the number of distinct XLA backend compiles "
+                    "the suite triggers (the shape-bucketing cold-start "
+                    "metric: one compiled program should serve a family of "
+                    "query sizes)")
     args = ap.parse_args()
+    compiles = []
+    if args.count_compiles:
+        import jax.monitoring
+
+        jax.monitoring.register_event_duration_secs_listener(
+            lambda key, dur, **kw: compiles.append(dur)
+            if key == "/jax/core/compile/backend_compile_duration"
+            else None
+        )
     if args.config in ("small", "all"):
         run_config("small", 2_000, 5)
     if args.config in ("large", "all"):
@@ -158,6 +180,9 @@ def main():
             "grouped_largek", 500_000, 40, n_groups=1_000,
             models=["rls", "rolling"],
         )
+    if compiles:
+        print(f"\nXLA backend compiles: {len(compiles)} programs, "
+              f"{sum(compiles):.1f} s total compile time")
 
 
 if __name__ == "__main__":
