@@ -98,7 +98,7 @@ def _gather_per_row(layout, per_group: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 # fused static fit + predict (normal-equation path)
 # --------------------------------------------------------------------------- #
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "policy", "want", "force_refine", "lu"))
+@partial(jax.jit, static_argnames=("num_groups", "policy", "want", "force_refine", "lu"))
 def _chol_fit_kernel(
     vals,  # [N, 1+K] target column 0, features 1..K (raw values)
     valid,  # [N, 1+K] bool validity, or None when fully valid
@@ -413,7 +413,7 @@ def _solve_dispatch(XtX, Xty, counts, alpha: float, cd_params, refine=None,
     )
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine", "svd_guard", "lu"))
+@partial(jax.jit, static_argnames=("num_groups", "want", "cd_params", "force_refine", "svd_guard", "lu"))
 def _blocks_fit_kernel(
     Zp,  # [S, R, 1+K] target in slot 0
     wp,  # [S, R]
@@ -454,7 +454,7 @@ def _blocks_fit_kernel(
     return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "want", "cd_params", "force_refine", "svd_guard", "lu"))
+@partial(jax.jit, static_argnames=("num_groups", "want", "cd_params", "force_refine", "svd_guard", "lu"))
 def _blocks_fit_kernel_ozaki(
     Zp,  # [S, R, 1+K] target in slot 0 (used for block predictions)
     digits,  # [D, S, R, 1+K] int8 digit planes (padding rows zeroed)
@@ -502,10 +502,10 @@ def _blocks_fit_kernel_ozaki(
     return _unpad_preds(preds_blocks, unpad_idx, contiguous=num_groups == 1)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "cd_params"))
+@partial(jax.jit, static_argnames=("num_groups", "cd_params", "ridge"))
 def _blocks_statistics_kernel(
     Zp, digits, scales, wp, block_group, num_groups: int, alpha: float,
-    cd_params=None,
+    cd_params=None, ridge: bool = False,
 ):
     """All model-quality statistics from the materialized partition in ONE
     device program (the reference runs this once per group on the host;
@@ -561,7 +561,7 @@ def _blocks_statistics_kernel(
         rss_ne = seg((resid_ne * resid_ne).sum(axis=1))
     else:
         rss_ne = rss
-    fm = feature_metrics(XtX, Xty, rss_ne, counts, alpha)
+    fm = feature_metrics(XtX, Xty, rss_ne, counts, alpha, ridge=ridge)
     return {
         "coefficients": beta,
         "mse": rss / n_safe,
@@ -590,9 +590,10 @@ def _statistics_blocks(layout, vals, valid, policy, kwargs, names, layout_in,
     work scales with the group count — the output stays a device-native
     statistics struct column."""
     Zp, wp, _, block_group, digits, scales = _blocks_cached(layout, vals, valid, policy)
+    alpha = float(kwargs.alpha or 0.0)
     out = _blocks_statistics_kernel(
         Zp, digits, scales, wp, block_group, layout.num_groups,
-        float(kwargs.alpha or 0.0), cd_params,
+        alpha, cd_params, ridge=alpha > 0.0,
     )
     return _statistics_series(out, names, layout, layout_in)
 
@@ -931,7 +932,7 @@ def _fit_static(problem, layout, kwargs, k: int, method: Optional[str] = None):
     return solve_from_rows(Xp, yp, float(alpha), method, kwargs.rcond, n_valid)
 
 
-@partial(jax.jit, static_argnames=("alpha", "rcond"))
+@partial(jax.jit, static_argnames=("rcond",))
 def _svd_lanes_jit(Xp, yp, alpha: float, rcond, n_valid=None):
     from ..ops.linalg import svd_lstsq_lanes
 
@@ -946,7 +947,7 @@ def _rows_solver(Xp, yp, n_valid, alpha: float, method: str, rcond):
 
 @partial(
     jax.jit,
-    static_argnames=("num_groups", "alpha", "rcond", "want", "use_lanes"),
+    static_argnames=("num_groups", "rcond", "want", "use_lanes"),
 )
 def _svd_fit_kernel(
     Xp,  # [G, R, K] padded (cached layout; excluded rows zeroed)
@@ -983,7 +984,7 @@ def _svd_fit_kernel(
     return preds_p
 
 
-@partial(jax.jit, static_argnames=("num_groups", "alpha", "force_refine", "lu"))
+@partial(jax.jit, static_argnames=("num_groups", "force_refine", "lu"))
 def _solve_ne_refined_rows(
     XtX, Xty, X, y, w, gids, num_groups: int, alpha: float,
     force_refine: bool = False, lu: bool = False,

@@ -225,9 +225,9 @@ def _cd_cov_single_fista(
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "alpha", "l1_ratio", "max_iter", "tol", "positive", "active_set",
-    ),
+    # alpha/l1_ratio are traced operands: one compiled program serves every
+    # regularization strength (they enter the update rule arithmetically)
+    static_argnames=("max_iter", "tol", "positive", "active_set"),
 )
 def solve_elastic_net_cov(
     XtX: jnp.ndarray,  # [G, K, K]
@@ -273,7 +273,7 @@ def solve_elastic_net_cov(
     return jax.vmap(fn)(XtX.astype(F64), Xty.astype(F64), n_valid.astype(F64))
 
 
-@partial(jax.jit, static_argnames=("alpha", "l1_ratio", "max_iter", "tol", "positive"))
+@partial(jax.jit, static_argnames=("max_iter", "tol", "positive"))
 def solve_elastic_net(
     Xp: jnp.ndarray,  # [G, R, K]
     yp: jnp.ndarray,  # [G, R]

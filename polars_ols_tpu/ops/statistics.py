@@ -43,17 +43,31 @@ def residual_metrics(
     }
 
 
-@partial(jax.jit, static_argnames=("alpha",))
-def feature_metrics(
+def feature_metrics(XtX, Xty, rss, n, alpha, ridge=None) -> Dict[str, jnp.ndarray]:
+    """RSS must come from *per-row* residuals (as the reference does,
+    src/statistics.rs:119-123): the moment identity yty - 2b'Xty + b'XtXb
+    cancels catastrophically for good fits (can report mse=0 or negative).
+
+    ``alpha`` is a traced operand (one compiled program serves every ridge
+    strength); ``ridge`` selects the degrees-of-freedom formula (n - trace
+    vs n - p, reference statistics.rs:124-128), which is structural — it
+    defaults from ``alpha`` here, OUTSIDE the jit boundary, so inference
+    works whenever alpha is a concrete Python number (callers inside a
+    trace must pass ridge explicitly)."""
+    if ridge is None:
+        ridge = bool(alpha > 0.0)  # raises if alpha is a tracer: pass ridge
+    return _feature_metrics_jit(XtX, Xty, rss, n, alpha, ridge=ridge)
+
+
+@partial(jax.jit, static_argnames=("ridge",))
+def _feature_metrics_jit(
     XtX: jnp.ndarray,  # [G, K, K]
     Xty: jnp.ndarray,  # [G, K]
     rss: jnp.ndarray,  # [G] residual sum of squares over the fitted rows
     n: jnp.ndarray,  # [G] valid-row counts
     alpha: float,
+    ridge: bool,
 ) -> Dict[str, jnp.ndarray]:
-    """RSS must come from *per-row* residuals (as the reference does,
-    src/statistics.rs:119-123): the moment identity yty - 2b'Xty + b'XtXb
-    cancels catastrophically for good fits (can report mse=0 or negative)."""
     G, k, _ = XtX.shape
     A = XtX + alpha * jnp.eye(k, dtype=F64)
     if k <= 32:
@@ -74,7 +88,7 @@ def feature_metrics(
             (L_safe, True), jnp.broadcast_to(jnp.eye(k, dtype=F64), A.shape)
         )
     beta = jnp.einsum("gkl,gl->gk", A_inv, Xty, preferred_element_type=F64)
-    if alpha > 0.0:
+    if ridge:
         df = n - jnp.trace(A_inv, axis1=-2, axis2=-1)
     else:
         df = n - float(k)

@@ -160,9 +160,16 @@ def fit_moments_sharded(
     runs shard-locally on [G/n] groups with zero communication.
     ``X_pred`` supplies the prediction-side features when the null policy
     makes them differ from the fit-side ones (zero-filled full rows).
+
+    The device program is a module-level jit keyed on (mesh, axes, shapes,
+    statics) with ``alpha`` a *traced* operand: steady-state queries reuse
+    one compiled executable across calls and ridge strengths (eager
+    shard_map would re-trace per call; distinct alphas would re-compile).
     """
     if row_axes is None:
         row_axes = mesh_row_axes(mesh)
+    if isinstance(row_axes, list):
+        row_axes = tuple(row_axes)
     n_shards = _mesh_size(mesh, row_axes)
     N, K = X.shape
     Np = -(-N // n_shards) * n_shards
@@ -172,16 +179,33 @@ def fit_moments_sharded(
     wp = _pad_to(w.astype(bool), Np)  # padded rows -> False -> zero moments
     gp = _pad_to(jnp.asarray(gids, dtype=jnp.int32), Np)
     Xpredp = Xp if X_pred is None else _pad_to(X_pred.astype(F64), Np)
+    beta, preds = _fit_moments_program(
+        Xp, yp, wp, gp, Xpredp, jnp.asarray(float(alpha), F64),
+        mesh=mesh, row_axes=row_axes, Gp=Gp, cd_params=cd_params,
+        force_refine=force_refine, lu=lu,
+    )
+    return beta[:num_groups], preds[:N]
 
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "row_axes", "Gp", "cd_params", "force_refine", "lu"),
+)
+def _fit_moments_program(
+    Xp, yp, wp, gp, Xpredp, alpha,
+    *, mesh: Mesh, row_axes, Gp: int, cd_params, force_refine: bool, lu: bool,
+):
+    n_shards = _mesh_size(mesh, row_axes)
+    K = Xp.shape[1]
     row_spec = P(row_axes)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(row_spec, row_spec, row_spec, row_spec, row_spec),
+        in_specs=(row_spec, row_spec, row_spec, row_spec, row_spec, P()),
         out_specs=(P(), row_spec),
     )
-    def step(Xl, yl, wl, gl, Xpl):
+    def step(Xl, yl, wl, gl, Xpl, alpha):
         wf = wl.astype(F64)
         Xm = Xl * wf[:, None]
         # local partial moments for ALL groups (rows of other shards add 0)
@@ -244,8 +268,7 @@ def fit_moments_sharded(
         preds = jnp.einsum("nk,nk->n", Xpl, jnp.take(beta, gl, axis=0))
         return beta, preds
 
-    beta, preds = step(Xp, yp, wp, gp, Xpredp)
-    return beta[:num_groups], preds[:N]
+    return step(Xp, yp, wp, gp, Xpredp, alpha)
 
 
 def statistics_moments_sharded(
@@ -270,10 +293,10 @@ def statistics_moments_sharded(
     while se/t/p keep the normal-equation recompute — mirroring the
     single-device `_blocks_statistics_kernel` and the reference's
     src/statistics.rs:116 semantics."""
-    from ..ops.statistics import feature_metrics
-
     if row_axes is None:
         row_axes = mesh_row_axes(mesh)
+    if isinstance(row_axes, list):
+        row_axes = tuple(row_axes)
     n_shards = _mesh_size(mesh, row_axes)
     N, K = X.shape
     Np = -(-N // n_shards) * n_shards
@@ -282,16 +305,45 @@ def statistics_moments_sharded(
     yp = _pad_to(y.astype(F64), Np)
     wp = _pad_to(w.astype(bool), Np)
     gp = _pad_to(jnp.asarray(gids, dtype=jnp.int32), Np)
+    beta, rss, sae, sst, counts, se, tv, pv = _statistics_moments_program(
+        Xp, yp, wp, gp, jnp.asarray(float(alpha), F64),
+        mesh=mesh, row_axes=row_axes, Gp=Gp, cd_params=cd_params,
+        ridge=float(alpha) > 0.0,
+    )
+    n_safe = jnp.maximum(counts, 1.0)
+    sl = slice(None, num_groups)
+    return {
+        "coefficients": beta[sl],
+        "mse": (rss / n_safe)[sl],
+        "mae": (sae / n_safe)[sl],
+        "r2": (1.0 - rss / sst)[sl],
+        "standard_errors": se[sl],
+        "t_values": tv[sl],
+        "p_values": pv[sl],
+    }
 
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "row_axes", "Gp", "cd_params", "ridge"),
+)
+def _statistics_moments_program(
+    Xp, yp, wp, gp, alpha,
+    *, mesh: Mesh, row_axes, Gp: int, cd_params, ridge: bool,
+):
+    from ..ops.statistics import feature_metrics
+
+    n_shards = _mesh_size(mesh, row_axes)
+    K = Xp.shape[1]
     row_spec = P(row_axes)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(row_spec, row_spec, row_spec, row_spec),
+        in_specs=(row_spec, row_spec, row_spec, row_spec, P()),
         out_specs=P(),
     )
-    def step(Xl, yl, wl, gl):
+    def step(Xl, yl, wl, gl, alpha):
         wf = wl.astype(F64)
         Xm = Xl * wf[:, None]
         xtx = jax.ops.segment_sum(
@@ -352,7 +404,7 @@ def statistics_moments_sharded(
         else:
             rss_ne = rss
         rss_s = lax.dynamic_slice_in_dim(rss_ne, idx0, Gp // n_shards)
-        fm = feature_metrics(xtx_s, xty_s, rss_s, counts_s, alpha)
+        fm = feature_metrics(xtx_s, xty_s, rss_s, counts_s, alpha, ridge=ridge)
         gath = lambda a: lax.all_gather(a, row_axes, axis=0, tiled=True)
         return (
             beta,
@@ -365,18 +417,7 @@ def statistics_moments_sharded(
             gath(fm["p_values"]),
         )
 
-    beta, rss, sae, sst, counts, se, tv, pv = step(Xp, yp, wp, gp)
-    n_safe = jnp.maximum(counts, 1.0)
-    sl = slice(None, num_groups)
-    return {
-        "coefficients": beta[sl],
-        "mse": (rss / n_safe)[sl],
-        "mae": (sae / n_safe)[sl],
-        "r2": (1.0 - rss / sst)[sl],
-        "standard_errors": se[sl],
-        "t_values": tv[sl],
-        "p_values": pv[sl],
-    }
+    return step(Xp, yp, wp, gp, alpha)
 
 
 # --------------------------------------------------------------------------- #
