@@ -209,3 +209,62 @@ def test_lazyframe_caches_collect():
     first = lf.collect()
     assert lf.collect() is first  # plan replay happens once
     assert lf.columns == ["a", "b"]
+
+
+def test_alpha_sweep_reuses_compiled_program():
+    """alpha is a traced operand in the static-fit kernels: after the first
+    ridge query compiles, further queries at different alphas (and plain ols,
+    which shares the auto->chol path) must trigger ZERO new XLA backend
+    compiles — the cold-start property for regularization sweeps (each
+    program costs 20-200 s of remote compile on the target backend)."""
+    import jax.monitoring
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(600, 3))
+    y = x.sum(axis=1) + rng.normal(size=600) * 0.1
+    g = rng.integers(6, size=600).astype(float)
+    df = pot.DataFrame(
+        {"y": y, "x1": x[:, 0], "x2": x[:, 1], "x3": x[:, 2], "g": g}
+    )
+    feats = [col("x1"), col("x2"), col("x3")]
+
+    def run(alpha):
+        out = df.select(
+            col("y").least_squares.ridge(*feats, alpha=alpha).over("g")
+        )["y"]
+        np.asarray(out.values[-2:])
+        return out
+
+    compiles = []
+    listener = (
+        lambda key, dur, **kw: compiles.append(key)
+        if key == "/jax/core/compile/backend_compile_duration"
+        else None
+    )
+    jax.monitoring.register_event_duration_secs_listener(listener)
+    try:
+        run(0.125)  # first alpha: compiles the program set (or reuses an
+        # earlier test's cache — either way the sweep below must add zero)
+        n_first = len(compiles)
+        for alpha in (0.25, 0.5, 2.0):
+            run(alpha)
+        assert len(compiles) == n_first, (
+            f"alpha sweep recompiled: {len(compiles) - n_first} extra programs"
+        )
+    finally:
+        jax.monitoring.unregister_event_duration_listener(listener)
+    # numeric parity across the sweep (traced alpha must not change results)
+    for alpha in (0.125, 2.0):
+        out = np.asarray(
+            df.select(
+                col("y").least_squares.ridge(
+                    *feats, alpha=alpha, mode="coefficients"
+                ).over("g")
+            )["coefficients"].values
+        )
+        for gi in range(6):
+            m = g == gi
+            ref = np.linalg.solve(
+                x[m].T @ x[m] + alpha * np.eye(3), x[m].T @ y[m]
+            )
+            np.testing.assert_allclose(out[m][0], ref, atol=1e-8)
