@@ -488,17 +488,26 @@ def shuffle_rows_to_groups(
 
     g_host = np.asarray(gids, dtype=np.int64)
     dest_host = g_host // gps
+    src_host = np.arange(N, dtype=np.int64) // L
+    pair_max = int(np.bincount(src_host * n + dest_host, minlength=n * n).max())
     if capacity is None:
-        src_host = np.arange(N, dtype=np.int64) // L
-        pair = np.bincount(src_host * n + dest_host, minlength=n * n)
         from ..engine.groups import bucket_size
 
-        capacity = bucket_size(max(int(pair.max()), 1))
+        capacity = bucket_size(max(pair_max, 1))
+    elif capacity < pair_max:
+        # a too-small bucket would silently drop rows on the send side
+        raise ValueError(
+            f"shuffle capacity {capacity} < max rows a single src->dest "
+            f"shard pair exchanges ({pair_max})"
+        )
+    rows_max = int(np.bincount(g_host, minlength=num_groups).max())
     if rows_per_group is None:
         from ..engine.groups import bucket_size
 
-        rows_per_group = bucket_size(
-            max(int(np.bincount(g_host, minlength=num_groups).max()), 1)
+        rows_per_group = bucket_size(max(rows_max, 1))
+    elif rows_per_group < rows_max:
+        raise ValueError(
+            f"rows_per_group {rows_per_group} < largest group ({rows_max})"
         )
     C, R = int(capacity), int(rows_per_group)
 
