@@ -208,6 +208,17 @@ def layout_for_columns(cols: Sequence) -> GroupLayout:
 def build_layout(gids: Optional[np.ndarray], n_rows: int) -> GroupLayout:
     if gids is None:
         gids = np.zeros(n_rows, dtype=np.int64)
+    if n_rows > 0:
+        # native counting-sort layout: two linear passes, no argsort and no
+        # N-element fancy-index gathers (numpy path: ~45 s at 8M rows on
+        # this host; native: memory speed)
+        from .native import native_layout_build
+
+        num_groups = int(gids.max()) + 1
+        nat = native_layout_build(gids, num_groups)
+        if nat is not None:
+            counts, order, rank = nat
+            return GroupLayout(gids, num_groups, counts, order, rank)
     counts = np.bincount(gids).astype(np.int64)
     num_groups = len(counts)
     order = np.argsort(gids, kind="stable")
@@ -242,8 +253,16 @@ def padded_indices(layout: GroupLayout) -> Tuple[np.ndarray, np.ndarray, int]:
     and are masked out. R is bucketed (see `bucket_size`) to bound the number
     of distinct compiled programs across query shapes.
     """
+    from .native import native_scatter_blocks
+
     G = layout.num_groups
     R = bucket_size(int(layout.counts.max())) if G else 0
+    nat = native_scatter_blocks(
+        layout.gids, layout.rank_in_group,
+        np.arange(G, dtype=np.int64), R, G,
+    ) if R else None
+    if nat is not None:
+        return nat[0], nat[1], R
     gather = np.zeros((G, R), dtype=np.int64)
     mask = np.zeros((G, R), dtype=bool)
     rows = np.arange(len(layout.gids), dtype=np.int64)
@@ -261,12 +280,20 @@ def split_padded_indices(
     block -> group map enables segment-summing partial moments back to [G].
     Returns (gather_idx [S, R_cap], pad_mask [S, R_cap], block_group [S], S).
     """
+    from .native import native_scatter_blocks
+
     counts = layout.counts
     n_blocks_per_group = np.maximum(1, -(-counts // r_cap))
     S = int(n_blocks_per_group.sum())
     block_group = np.repeat(np.arange(layout.num_groups, dtype=np.int64), n_blocks_per_group)
     block_first = np.zeros(layout.num_groups, dtype=np.int64)
     np.cumsum(n_blocks_per_group[:-1], out=block_first[1:])
+
+    nat = native_scatter_blocks(
+        layout.gids, layout.rank_in_group, block_first, r_cap, S
+    )
+    if nat is not None:
+        return nat[0], nat[1], block_group, S
 
     rows = np.arange(len(layout.gids), dtype=np.int64)
     block_of_row = block_first[layout.gids] + layout.rank_in_group // r_cap

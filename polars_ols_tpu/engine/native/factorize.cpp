@@ -93,3 +93,65 @@ void pols_hash_pair(const int64_t* a, const int64_t* b, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Group layout in two linear passes (counting sort — no argsort, no random
+// gathers; numpy's argsort+fancy-index build costs ~45 s at 8M rows on a
+// slow-memory host, this runs at memory speed). Outputs:
+//   counts[g]  rows per group                      [num_groups]
+//   order[p]   row index at sorted position p      [n] (stable by row order)
+//   rank[i]    position of row i inside its group  [n]
+// Returns 0, or -1 when a gid falls outside [0, num_groups) (caller falls
+// back to the numpy path).
+int64_t pols_layout_build(const int64_t* gids, int64_t n, int64_t num_groups,
+                          int64_t* counts, int64_t* order, int64_t* rank) {
+  if (n < 0 || num_groups < 0) return -1;
+  std::memset(counts, 0, static_cast<size_t>(num_groups) * sizeof(int64_t));
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t g = gids[i];
+    if (g < 0 || g >= num_groups) return -1;
+    ++counts[g];
+  }
+  std::vector<int64_t> first, cursor;
+  try {
+    first.resize(static_cast<size_t>(num_groups));
+    cursor.resize(static_cast<size_t>(num_groups));
+  } catch (...) {
+    return -1;
+  }
+  int64_t acc = 0;
+  for (int64_t g = 0; g < num_groups; ++g) {
+    first[static_cast<size_t>(g)] = acc;
+    cursor[static_cast<size_t>(g)] = acc;
+    acc += counts[g];
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t g = gids[i];
+    const int64_t pos = cursor[static_cast<size_t>(g)]++;
+    order[pos] = i;
+    rank[i] = pos - first[static_cast<size_t>(g)];
+  }
+  return 0;
+}
+
+// Scatter rows into a blocked [S, r_cap] layout in ONE linear pass:
+//   blk  = block_first[gids[i]] + rank[i] / r_cap
+//   slot = rank[i] % r_cap
+//   gather[blk * r_cap + slot] = i;  mask[...] = 1
+// Covers both the fully padded layout (block_first[g] = g, r_cap = R) and
+// the split-padded moment layout (block_first = cumsum of per-group block
+// counts). gather/mask must be pre-zeroed by the caller.
+void pols_scatter_blocks(const int64_t* gids, const int64_t* rank,
+                         const int64_t* block_first, int64_t r_cap,
+                         int64_t n, int64_t* gather, uint8_t* mask) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t r = rank[i];
+    const int64_t at =
+        (block_first[gids[i]] + r / r_cap) * r_cap + (r % r_cap);
+    gather[at] = i;
+    mask[at] = 1;
+  }
+}
+
+}  // extern "C"

@@ -58,3 +58,52 @@ def test_factorize_columns_multi_key():
     # same partition (ids may be numbered differently only if orders differ;
     # both use sorted-unique order of (a, b) lexicographic == combo order)
     np.testing.assert_array_equal(gids, expected)
+
+
+@pytest.mark.parametrize("n,g,r_cap", [(5_000, 13, 64), (40_000, 900, 512)])
+def test_native_layout_build_matches_numpy(n, g, r_cap):
+    """Counting-sort layout (counts/order/rank) and the one-pass blocked
+    scatters must equal the numpy argsort-based construction exactly,
+    including empty groups and a dominating heavy group."""
+    import polars_ols_tpu.engine.native as native
+    from polars_ols_tpu.engine import groups
+
+    rng = np.random.default_rng(4)
+    gids = np.concatenate(
+        [rng.integers(g, size=n), np.full(3 * r_cap + 5, g // 2), [g - 1]]
+    )
+    rng.shuffle(gids)
+    lay_nat = groups.build_layout(gids.copy(), len(gids))
+    pad_nat = groups.padded_indices(lay_nat)
+    split_nat = groups.split_padded_indices(lay_nat, r_cap)
+
+    saved_build = native.native_layout_build
+    saved_scatter = native.native_scatter_blocks
+    native.native_layout_build = lambda *a, **k: None
+    native.native_scatter_blocks = lambda *a, **k: None
+    try:
+        lay_np = groups.build_layout(gids.copy(), len(gids))
+        pad_np = groups.padded_indices(lay_np)
+        split_np = groups.split_padded_indices(lay_np, r_cap)
+    finally:
+        native.native_layout_build = saved_build
+        native.native_scatter_blocks = saved_scatter
+
+    assert lay_nat.num_groups == lay_np.num_groups
+    np.testing.assert_array_equal(lay_nat.counts, lay_np.counts)
+    np.testing.assert_array_equal(lay_nat.order, lay_np.order)
+    np.testing.assert_array_equal(lay_nat.rank_in_group, lay_np.rank_in_group)
+    for a, b in zip(pad_nat, pad_np):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(split_nat, split_np):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_layout_build_out_of_range_falls_back():
+    """A gid outside [0, num_groups) makes the native builder return None
+    (numpy fallback) instead of writing out of bounds."""
+    from polars_ols_tpu.engine.native import native_layout_build
+
+    bad = np.asarray([0, 1, 5], dtype=np.int64)
+    assert native_layout_build(bad, 3) is None
+    assert native_layout_build(np.asarray([-1, 0], dtype=np.int64), 2) is None
