@@ -1121,3 +1121,34 @@ def test_scrambled_order_lazy_weighted_rolling_predict():
     np.testing.assert_allclose(
         p[m], np.einsum("nk,nk->n", np.nan_to_num(X[m]), coefs[m]), atol=1e-8
     )
+
+
+def test_over_composite_group_keys():
+    """`.over(k1, k2)` groups by the composite key (polars semantics; the
+    reference inherits this from the polars engine — README:19): grouped
+    OLS over two key columns equals per-composite-group numpy lstsq, and
+    coefficient structs broadcast per composite group."""
+    rng = np.random.default_rng(21)
+    n = 3_000
+    x = rng.normal(size=(n, 2))
+    y = x.sum(axis=1) + rng.normal(size=n) * 0.1
+    g1 = rng.integers(4, size=n).astype(float)
+    g2 = rng.integers(3, size=n).astype(float)
+    df = pot.DataFrame(
+        {"x1": x[:, 0], "x2": x[:, 1], "y": y, "g1": g1, "g2": g2}
+    )
+    preds = df.select(
+        col("y").least_squares.ols(col("x1"), col("x2")).over("g1", "g2").alias("p")
+    )["p"].to_numpy()
+    for a in range(4):
+        for b in range(3):
+            m = (g1 == a) & (g2 == b)
+            beta = np.linalg.lstsq(x[m], y[m], rcond=None)[0]
+            np.testing.assert_allclose(preds[m], x[m] @ beta, atol=1e-9)
+    coefs = df.select(
+        "g1", "g2",
+        col("y").least_squares.ols(
+            col("x1"), col("x2"), mode="coefficients"
+        ).over("g1", "g2"),
+    ).unique()
+    assert coefs.shape == (12, 3)
