@@ -126,11 +126,50 @@ int64_t pols_layout_build(const int64_t* gids, int64_t n, int64_t num_groups,
     cursor[static_cast<size_t>(g)] = acc;
     acc += counts[g];
   }
+  // Small inputs (or few groups): direct scatter. The cursor table is
+  // cache-resident; only order[pos] writes are random.
+  if (n < (1 << 20) || num_groups <= 512) {
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t g = gids[i];
+      const int64_t pos = cursor[static_cast<size_t>(g)]++;
+      order[pos] = i;
+      rank[i] = pos - first[static_cast<size_t>(g)];
+    }
+    return 0;
+  }
+  // Large inputs: bucket-partitioned scatter. Direct order[pos] writes
+  // touch a fresh cache line almost every row when groups interleave
+  // (~700 ns/row on slow-memory hosts). Bucket b covers the contiguous
+  // group range [b*gpb, (b+1)*gpb), so its slice of `order` is contiguous;
+  // partitioning rows by bucket first makes every write stream either
+  // sequential (rank, the per-bucket row/gid staging) or confined to an
+  // L2-sized region (the final order scatter).
+  const int64_t B = 256;
+  const int64_t gpb = (num_groups + B - 1) / B;
+  std::vector<int64_t> tmp_i, tmp_g, bcur(static_cast<size_t>(B), 0);
+  try {
+    tmp_i.resize(static_cast<size_t>(n));
+    tmp_g.resize(static_cast<size_t>(n));
+  } catch (...) {
+    return -1;
+  }
+  // bucket start = first row position of its first group
+  for (int64_t b = 0; b < B; ++b) {
+    const int64_t g0 = b * gpb;
+    bcur[static_cast<size_t>(b)] =
+        g0 < num_groups ? first[static_cast<size_t>(g0)] : n;
+  }
+  std::vector<int64_t> occ(static_cast<size_t>(num_groups), 0);
   for (int64_t i = 0; i < n; ++i) {
     const int64_t g = gids[i];
-    const int64_t pos = cursor[static_cast<size_t>(g)]++;
-    order[pos] = i;
-    rank[i] = pos - first[static_cast<size_t>(g)];
+    rank[i] = occ[static_cast<size_t>(g)]++;  // sequential write to rank
+    const int64_t at = bcur[static_cast<size_t>(g / gpb)]++;
+    tmp_i[static_cast<size_t>(at)] = i;  // sequential per bucket stream
+    tmp_g[static_cast<size_t>(at)] = g;
+  }
+  for (int64_t p = 0; p < n; ++p) {  // sequential reads; L2-local writes
+    const int64_t g = tmp_g[static_cast<size_t>(p)];
+    order[cursor[static_cast<size_t>(g)]++] = tmp_i[static_cast<size_t>(p)];
   }
   return 0;
 }
