@@ -175,13 +175,19 @@ class GroupLayout:
 
         key = ("split_unpad", r_cap)
         if key not in self._dev:
+            from .native import native_unpad_map
+
             counts = self.counts
             n_blocks = np.maximum(1, -(-counts // r_cap))
             block_first = np.zeros(self.num_groups, dtype=np.int64)
             np.cumsum(n_blocks[:-1], out=block_first[1:])
-            blk = block_first[self.gids] + self.rank_in_group // r_cap
-            slot = self.rank_in_group % r_cap
-            self._dev[key] = jnp.asarray(blk * r_cap + slot, dtype=jnp.int32)
+            flat = native_unpad_map(
+                self.gids, self.rank_in_group, block_first, r_cap
+            )
+            if flat is None:  # numpy fallback (native library unavailable)
+                blk = block_first[self.gids] + self.rank_in_group // r_cap
+                flat = blk * r_cap + self.rank_in_group % r_cap
+            self._dev[key] = jnp.asarray(flat, dtype=jnp.int32)
         return self._dev[key]
 
     def device_unpad(self, R: int):
@@ -190,9 +196,15 @@ class GroupLayout:
 
         key = ("unpad", R)
         if key not in self._dev:
-            self._dev[key] = jnp.asarray(
-                self.gids * R + self.rank_in_group, dtype=jnp.int32
+            from .native import native_unpad_map
+
+            flat = native_unpad_map(
+                self.gids, self.rank_in_group,
+                np.arange(self.num_groups, dtype=np.int64), R,
             )
+            if flat is None:
+                flat = self.gids * R + self.rank_in_group
+            self._dev[key] = jnp.asarray(flat, dtype=jnp.int32)
         return self._dev[key]
 
 

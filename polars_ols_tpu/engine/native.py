@@ -63,6 +63,11 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.pols_scatter_blocks.restype = None
+        lib.pols_unpad_map.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.pols_unpad_map.restype = None
         return lib
 
     try:
@@ -156,3 +161,24 @@ def native_scatter_blocks(
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return gather, mask
+
+
+def native_unpad_map(
+    gids: np.ndarray, rank: np.ndarray, block_first: np.ndarray, r_cap: int
+):
+    """Row-order gather map out of the blocked [S, r_cap] layout as int32,
+    one pass (inverse of `native_scatter_blocks`). None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pols_unpad_map"):
+        return None
+    gids = np.ascontiguousarray(gids, dtype=np.int64)
+    rank = np.ascontiguousarray(rank, dtype=np.int64)
+    block_first = np.ascontiguousarray(block_first, dtype=np.int64)
+    out = np.empty(len(gids), dtype=np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.pols_unpad_map(
+        gids.ctypes.data_as(i64p), rank.ctypes.data_as(i64p),
+        block_first.ctypes.data_as(i64p), r_cap, len(gids),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
