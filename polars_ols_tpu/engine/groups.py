@@ -70,9 +70,13 @@ def factorize_columns(cols: Sequence) -> np.ndarray:
         return arrays[0]
     combined = arrays[0]
     for a in arrays[1:]:
-        combined = combined * (a.max() + 1) + a
-    _, inv = np.unique(combined, return_inverse=True)
-    return inv.astype(np.int64)
+        radix = int(a.max(initial=0)) + 1
+        if int(combined.max(initial=0)) > (2**62) // radix:
+            # compact before the mixed-radix step: numpy wraps int64
+            # silently, which would collide distinct key tuples
+            combined = _factorize_numeric(combined)
+        combined = combined * radix + a
+    return _factorize_numeric(combined).astype(np.int64)
 
 
 def _factorize_numeric(vals: np.ndarray) -> np.ndarray:
