@@ -519,7 +519,30 @@ def shuffle_rows_to_groups(
     # the receiving shard can restore time order within each group
     present = (jnp.arange(Np) < N).astype(F64)
     ridx = jnp.arange(Np, dtype=F64)
+    if isinstance(row_axes, list):
+        row_axes = tuple(row_axes)
+    Xg, yg, vg = _shuffle_program(
+        Xp, yp, wp, gp, present, ridx,
+        mesh=mesh, row_axes=row_axes, Gp=Gp, C=C, R=R,
+    )
+    return Xg, yg, vg, num_groups
 
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "row_axes", "Gp", "C", "R"),
+)
+def _shuffle_program(
+    Xp, yp, wp, gp, present, ridx,
+    *, mesh: Mesh, row_axes, Gp: int, C: int, R: int,
+):
+    """The shuffle's device program, cached per (mesh, axes, shapes,
+    capacity, rows_per_group) like the moments programs — repeated
+    distributed-ingest calls reuse one executable."""
+    n = _mesh_size(mesh, row_axes)
+    Np, K = Xp.shape
+    L = Np // n
+    gps = Gp // n
     row_spec = P(row_axes)
 
     @partial(
@@ -588,8 +611,7 @@ def shuffle_rows_to_groups(
         )
         return Xg, yg, vg
 
-    Xg, yg, vg = step(Xp, yp, wp, gp, present, ridx)
-    return Xg, yg, vg, num_groups
+    return step(Xp, yp, wp, gp, present, ridx)
 
 
 def solve_groups_sharded(mesh: Mesh, solver, arrays, group_axes=None, **solver_kwargs):
