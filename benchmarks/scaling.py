@@ -36,7 +36,6 @@ from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
 from polars_ols_tpu.parallel import (  # noqa: E402
     fit_moments_sharded,
     make_mesh,
-    solve_groups_sharded,
 )
 from polars_ols_tpu.parallel.sharded import (  # noqa: E402
     mesh_row_axes,

@@ -38,6 +38,13 @@ def _make(native_dir, force=False):
         pass
 
 
+# any symbol introduced by the newest source revision: its absence from the
+# shared object's bytes marks a stale build (checked BEFORE dlopen — glibc
+# dedups dlopen of the same path in-process, so a stale handle can never be
+# replaced by rebuilding afterwards)
+_NEWEST_SYMBOL = b"pols_unpad_map"
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
@@ -45,8 +52,16 @@ def _load():
     _TRIED = True
     native_dir = os.path.join(os.path.dirname(__file__), "native")
     path = os.path.join(native_dir, "libpols_native.so")
-    if not os.path.exists(path):
-        _make(native_dir)
+    # make's dependency rule rebuilds when the source is newer (no-op
+    # otherwise) — covers the git-pull-over-stale-.so case
+    _make(native_dir)
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                if _NEWEST_SYMBOL not in f.read():
+                    _make(native_dir, force=True)
+        except OSError:
+            pass
     if not os.path.exists(path):
         return None
     def bind():
@@ -72,14 +87,11 @@ def _load():
 
     try:
         _LIB = bind()
-    except AttributeError:
-        # stale library from an older source revision: rebuild and retry
-        _make(native_dir, force=True)
-        try:
-            _LIB = bind()
-        except (OSError, AttributeError):
-            _LIB = None
-    except OSError:
+    except (OSError, AttributeError):
+        # rebuilding here cannot help: dlopen of the same path returns the
+        # already-loaded handle for the rest of the process (the staleness
+        # pre-checks above run BEFORE the first dlopen for exactly this
+        # reason), so fall back to numpy everywhere
         _LIB = None
     return _LIB
 

@@ -98,6 +98,23 @@ def test_native_layout_build_matches_numpy(n, g, r_cap):
     for a, b in zip(split_nat, split_np):
         np.testing.assert_array_equal(a, b)
 
+    # the one-pass int32 unpad maps (inverse gathers) vs the numpy fallback
+    R = pad_nat[2]
+    unpad_nat = np.asarray(lay_nat.device_unpad(R))
+    split_unpad_nat = np.asarray(lay_nat.device_split_unpad(r_cap))
+    saved_unpad = native.native_unpad_map
+    native.native_unpad_map = lambda *a, **k: None
+    try:
+        lay_ref = groups.build_layout(gids.copy(), len(gids))
+        np.testing.assert_array_equal(
+            unpad_nat, np.asarray(lay_ref.device_unpad(R))
+        )
+        np.testing.assert_array_equal(
+            split_unpad_nat, np.asarray(lay_ref.device_split_unpad(r_cap))
+        )
+    finally:
+        native.native_unpad_map = saved_unpad
+
 
 def test_native_layout_build_out_of_range_falls_back():
     """A gid outside [0, num_groups) makes the native builder return None
