@@ -95,14 +95,14 @@ def main() -> None:
                     "error": "accelerator backend unreachable "
                     "(device enumeration hangs; axon tunnel down — "
                     "see BENCHMARKS.md round-3 status)",
-                    # the same workload measured on-chip earlier this round,
-                    # before the tunnel outage (BENCHMARKS.md headline,
-                    # 2026-08-17) — context only, NOT this run's result
-                    "last_onchip_2026_08_17": {
-                        "materialized_rows_per_s": 108_700_000,
-                        "materialized_vs_baseline": 10.55,
-                        "lazy_rows_per_s": 331_000_000,
-                        "lazy_vs_baseline": 32.2,
+                    # the same workload measured on-chip earlier this round
+                    # (BENCHMARKS.md headline, 2026-08-18) — context only,
+                    # NOT this run's result
+                    "last_onchip_2026_08_18": {
+                        "materialized_rows_per_s": 109_918_299,
+                        "materialized_vs_baseline": 10.67,
+                        "lazy_rows_per_s": 342_540_464,
+                        "lazy_vs_baseline": 33.3,
                     },
                 }
             )
