@@ -32,6 +32,7 @@ program cost).
 from __future__ import annotations
 
 import json
+import pathlib
 import subprocess
 import sys
 import time
@@ -83,30 +84,45 @@ def _backend_reachable(attempts: int = 5, probe_timeout_s: int = 120) -> bool:
     return False
 
 
+def _last_recorded_result() -> dict | None:
+    """Most recent successful BENCH_r*.json artifact next to this script —
+    context for an unreachable-backend report, NOT this run's result."""
+    def round_number(path: pathlib.Path) -> int:
+        digits = "".join(c for c in path.stem if c.isdigit())
+        return int(digits) if digits else -1
+
+    here = pathlib.Path(__file__).resolve().parent
+    for path in sorted(here.glob("BENCH_r*.json"), key=round_number, reverse=True):
+        try:
+            rec = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if rec.get("parsed", {}).get("value"):
+            return {"artifact": path.name, **rec["parsed"]}
+        if rec.get("value"):
+            return {"artifact": path.name, **rec}
+    return None
+
+
 def main() -> None:
     if not _backend_reachable():
-        print(
-            json.dumps(
-                {
-                    "metric": "grouped_ols_rows_per_s_per_chip_materialized",
-                    "value": 0,
-                    "unit": "rows/s",
-                    "vs_baseline": 0.0,
-                    "error": "accelerator backend unreachable "
-                    "(device enumeration hangs; axon tunnel down — "
-                    "see BENCHMARKS.md round-3 status)",
-                    # the same workload measured on-chip earlier this round
-                    # (BENCHMARKS.md headline, 2026-08-18) — context only,
-                    # NOT this run's result
-                    "last_onchip_2026_08_18": {
-                        "materialized_rows_per_s": 109_918_299,
-                        "materialized_vs_baseline": 10.67,
-                        "lazy_rows_per_s": 342_540_464,
-                        "lazy_vs_baseline": 33.3,
-                    },
-                }
-            )
-        )
+        report = {
+            "metric": "grouped_ols_rows_per_s_per_chip_materialized",
+            "value": 0,
+            "unit": "rows/s",
+            "vs_baseline": 0.0,
+            "error": "accelerator backend unreachable: jax device "
+            "enumeration hung past the probe timeout on 5 attempts. "
+            "This is an environment outage (the remote-device tunnel "
+            "drops for hours at a time), not an engine failure — rerun "
+            "when device enumeration responds.",
+        }
+        last = _last_recorded_result()
+        if last is not None:
+            # the same workload measured on-chip in an earlier round —
+            # context only, NOT this run's result
+            report["last_recorded_onchip"] = last
+        print(json.dumps(report))
         return
     import polars_ols_tpu as pot
     from polars_ols_tpu import CONFIG
