@@ -139,7 +139,7 @@ def run_config(name: str, n: int, k: int, n_groups=None, models=None):
             pls.clear_caches()  # release device caches between families
             mn, med, iqr = (v * 1e3 for v in _time(fn))
         except Exception as e:  # pragma: no cover
-            print(f"{model:<14} FAILED: {str(e)[:60]}")
+            print(f"{model:<14} FAILED: {str(e)[:2000]}")
             continue
         r = ref.get(model)
         rtxt = f"{r:8.3f}ms" if r else " " * 10
