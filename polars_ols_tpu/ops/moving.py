@@ -82,8 +82,12 @@ def _chol_chunk(K: int, G: int) -> int:
     return _pow2(min(512, c))
 
 
-def _sm_chunk(R: int, ln_inv_ff: float = 0.0) -> int:
+def _sm_chunk(R: int, ln_inv_ff: float = 0.0, K: int = 1) -> int:
     c = min(512, R)
+    # per-chunk element cap (chunk * K^2 <= 2^19): the backend rejects
+    # larger scan temporaries — remote-compile HTTP 500 at K=40/chunk=512,
+    # same limit the classic kernels respect (engine/fit.py _pick_chunk)
+    c = min(c, max(8, (1 << 19) // max(1, K * K)))
     if ln_inv_ff > 0.0:
         # under discounting the f32 P-state's drift is amplified by ff^-t
         # within a chunk (measured: chunk=512 at half-life 30 drifts to
@@ -112,7 +116,11 @@ def lanes_applicable(
     ln_inv_ff = 0.0
     if half_life:
         ln_inv_ff = math.log(2.0) / half_life
-    C = min(_sm_chunk(R, ln_inv_ff), 256) if rolling else _sm_chunk(R, ln_inv_ff)
+    C = (
+        min(_sm_chunk(R, ln_inv_ff, K), 256)
+        if rolling
+        else _sm_chunk(R, ln_inv_ff, K)
+    )
     n_chunks = -(-R // C)
     # per-lane scan state: K^2 P (f32 for RLS, f64 for rolling) + K^2 f64 A
     per_lane = (16 if rolling else 12) * K * K
@@ -567,7 +575,7 @@ def solve_recursive_lanes(
 
     ln_inv_ff = math.log(1.0 / ff) if ff < 1.0 else 0.0
     chunk = (
-        _chol_chunk(K, G) if _use_lane_chol(K, G) else _sm_chunk(R, ln_inv_ff)
+        _chol_chunk(K, G) if _use_lane_chol(K, G) else _sm_chunk(R, ln_inv_ff, K)
     )
     if ln_inv_ff > 0.0:
         chunk = min(chunk, _pow2(max(8, int(600.0 / ln_inv_ff))))
@@ -612,7 +620,7 @@ def solve_rolling_lanes(
     # the sequential depth short (total steps across group blocks are
     # invariant in C; smaller C trades state for lanes)
     chunk = (
-        _chol_chunk(K, G) if _use_lane_chol(K, G) else min(_sm_chunk(R), 256)
+        _chol_chunk(K, G) if _use_lane_chol(K, G) else min(_sm_chunk(R, K=K), 256)
     )
     pad = (-R) % chunk
     if pad:

@@ -146,6 +146,61 @@ def test_rolling_refined_sm_grouped_largek():
             np.testing.assert_allclose(out[g, t], beta, rtol=2e-5, atol=2e-5)
 
 
+def test_sm_chunk_respects_backend_element_cap():
+    """chunk * K^2 must stay under the backend's ~2^19 scan-state element
+    limit: the K=40 grouped RLS benchmark shape picked chunk=512 (819k
+    elements) and the remote compiler rejected the program (HTTP 500,
+    round 4 on-chip). The classic kernels already cap this in
+    engine/fit.py _pick_chunk; the refined-SM tier must too."""
+    import math
+
+    from polars_ols_tpu.ops.moving import _sm_chunk
+
+    for K in (33, 40, 64, 100):
+        for R in (512, 600, 1024, 4096):
+            for ln_inv_ff in (0.0, math.log(2.0) / 252.0):
+                c = _sm_chunk(R, ln_inv_ff, K)
+                assert c * K * K <= 1 << 19, (K, R, ln_inv_ff, c)
+                assert c >= 8
+
+
+def test_rls_refined_sm_grouped_largek_long_history():
+    """K=40 with R > 512 — the grouped_largek benchmark shape class whose
+    discounted refined-SM program the backend rejected at chunk=512. With
+    the element cap the chunk drops to 256 (multi-chunk lanes); verify the
+    full path against the sequential Kalman oracle."""
+    from polars_ols_tpu.ops.moving import (
+        _sm_chunk,
+        _use_lane_chol,
+        solve_recursive_lanes,
+    )
+
+    G, R, K = 3, 600, 40
+    half_life = 252.0
+    assert not _use_lane_chol(K, G)  # must exercise refined-SM
+    import math
+
+    assert _sm_chunk(R, math.log(2.0) / half_life, K) == 256
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(G, R, K))
+    beta_true = rng.normal(size=(G, K))
+    y = np.einsum("grk,gk->gr", X, beta_true) + rng.normal(size=(G, R)) * 0.1
+    v = rng.random((G, R)) > 0.07
+    X = X * v[..., None]
+    y = y * v
+    ff = np.exp(np.log(0.5) / half_life)
+    out = np.asarray(
+        solve_recursive_lanes(
+            jnp.asarray(X), jnp.asarray(y), jnp.asarray(v),
+            half_life=half_life, initial_state_covariance=10.0,
+            initial_state_mean=None,
+        )
+    )
+    for g in range(G):
+        expected = _kalman_oracle(X[g], y[g], v[g], ff, 10.0)
+        np.testing.assert_allclose(out[g], expected, rtol=2e-7, atol=2e-8)
+
+
 def test_rolling_blocked_lanes_parity(monkeypatch):
     """Grouped rolling whose whole-batch lane state exceeds the memory
     budget runs refined-SM over sequential group blocks; output must match
