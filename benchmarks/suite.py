@@ -65,8 +65,8 @@ def _sync(out):
     bounds the batch, without forcing the O(N) row materialization."""
     if hasattr(out, "arrays"):  # StatisticsSeries
         tail = out.gather(np.arange(max(0, len(out) - 2), len(out)))
-        for arr in tail.arrays.values():
-            np.asarray(arr)
+        arrays = tail.arrays  # ONE fused gather program over all fields
+        np.asarray(next(iter(arrays.values())))
         return
     np.asarray(out.values[-2:])
 

@@ -17,6 +17,7 @@ import numpy as np
 
 from .config import CONFIG  # noqa: F401  (ensures x64 is enabled first)
 
+import jax
 import jax.numpy as jnp
 
 
@@ -372,6 +373,21 @@ class StructSeries:
         )
 
 
+@jax.jit
+def _gather_fields(base, idx):
+    """Gather every statistics field with one compiled program (an eager
+    per-field loop pays a ~30 ms remote dispatch per field)."""
+    return tuple(jnp.take(v, idx, axis=0) for v in base)
+
+
+@jax.jit
+def _pack_fields(scalars, lists):
+    """[len] scalar fields + [len, K] list fields -> one [len, 3+4K] array
+    so host materialisation is a single device->host transfer."""
+    cols = [s[:, None] for s in scalars] + list(lists)
+    return jnp.concatenate(cols, axis=1)
+
+
 class StatisticsSeries:
     """Device-native statistics struct column.
 
@@ -420,14 +436,21 @@ class StatisticsSeries:
 
     @property
     def arrays(self) -> dict:
-        """Row-level field arrays (materialises a deferred broadcast)."""
+        """Row-level field arrays (materialises a deferred broadcast).
+
+        All fields gather in ONE device program (`_gather_fields`): eager
+        per-field dispatches cost a full tunnel round-trip each on the
+        remote backend (~30 ms x 7 fields — this was most of the grouped
+        statistics query's measured 553 ms; the fused statistics kernel
+        itself runs in ~64 ms, experiments/statistics_probe.py)."""
         if self._row_index is None:
             return self._base
         if self._mat is None:
-            self._mat = {
-                k: jnp.take(v, self._row_index, axis=0)
-                for k, v in self._base.items()
-            }
+            keys = tuple(self._base.keys())
+            gathered = _gather_fields(
+                tuple(self._base[k] for k in keys), self._row_index
+            )
+            self._mat = dict(zip(keys, gathered))
         return self._mat
 
     def alias(self, name: str) -> "StatisticsSeries":
@@ -449,13 +472,25 @@ class StatisticsSeries:
     @property
     def values(self) -> list:
         if self._rows is None:
-            host = {k: np.asarray(v) for k, v in self.arrays.items()}
+            # pack every field into one [len, 3 + 4K] array on device and
+            # fetch it in ONE transfer (per-field fetches each pay the
+            # tunnel round-trip)
+            arrays = self.arrays
+            packed = np.asarray(_pack_fields(
+                tuple(arrays[k] for k in self.SCALAR_FIELDS),
+                tuple(arrays[k] for k in self.LIST_FIELDS),
+            ))
+            k = len(self.feature_names)
             rows = []
             for g in range(len(self)):
-                row = {k: float(host[k][g]) for k in self.SCALAR_FIELDS}
+                row = {
+                    key: float(packed[g, i])
+                    for i, key in enumerate(self.SCALAR_FIELDS)
+                }
                 row["feature_names"] = list(self.feature_names)
-                for k in self.LIST_FIELDS:
-                    row[k] = host[k][g].tolist()
+                for j, key in enumerate(self.LIST_FIELDS):
+                    lo = len(self.SCALAR_FIELDS) + j * k
+                    row[key] = packed[g, lo : lo + k].tolist()
                 rows.append(row)
             self._rows = rows
         return self._rows
