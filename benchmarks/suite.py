@@ -133,7 +133,7 @@ def run_config(name: str, n: int, k: int, n_groups=None, models=None):
           f"{'reference':>10} {'speedup':>9}")
     queries = _queries(df, k, grouped)
     if models is not None:
-        queries = {m: queries[m] for m in models}
+        queries = {m: queries[m] for m in models if m in queries}
     for model, fn in queries.items():
         try:
             pls.clear_caches()  # release device caches between families
@@ -151,6 +151,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="all",
                     choices=["small", "large", "grouped", "grouped_largek", "all"])
+    ap.add_argument("--models", default=None,
+                    help="comma-separated subset of model rows to run "
+                    "(e.g. 'statistics,multi_target')")
     ap.add_argument("--count-compiles", action="store_true",
                     help="report the number of distinct XLA backend compiles "
                     "the suite triggers (the shape-bucketing cold-start "
@@ -166,20 +169,28 @@ def main():
             if key == "/jax/core/compile/backend_compile_duration"
             else None
         )
+    subset = args.models.split(",") if args.models else None
+
+    def pick(models):
+        if subset is None:
+            return models
+        return [m for m in subset if models is None or m in models] or None
+
     if args.config in ("small", "all"):
-        run_config("small", 2_000, 5)
+        run_config("small", 2_000, 5, models=subset)
     if args.config in ("large", "all"):
-        run_config("large", 10_000, 100)
+        run_config("large", 10_000, 100, models=subset)
     if args.config in ("grouped", "all"):
-        run_config("grouped", 2_000_000, 5, n_groups=10_000)
+        run_config("grouped", 2_000_000, 5, n_groups=10_000, models=subset)
     if args.config in ("grouped_largek", "all"):
         # grouped moving models beyond the lane-chol tier (K > 32): the
         # refined-SM group-block path (the reference covers this regime
         # with its per-group Woodbury loop, src/least_squares.rs:848-1032)
-        run_config(
-            "grouped_largek", 500_000, 40, n_groups=1_000,
-            models=["rls", "rolling"],
-        )
+        largek = pick(["rls", "rolling"])
+        if largek:
+            run_config(
+                "grouped_largek", 500_000, 40, n_groups=1_000, models=largek,
+            )
     if compiles:
         print(f"\nXLA backend compiles: {len(compiles)} programs, "
               f"{sum(compiles):.1f} s total compile time")

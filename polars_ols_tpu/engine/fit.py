@@ -580,7 +580,8 @@ def _statistics_series(out, names, layout, layout_in):
     under .over() is a device gather."""
     out_series = StatisticsSeries("statistics", names, dict(out))
     if layout_in is not None:
-        out_series = out_series.gather(layout.gids)
+        # device_gids: the host copy would re-upload an [N] index per query
+        out_series = out_series.gather(layout.device_gids())
     return out_series
 
 
@@ -1513,6 +1514,21 @@ def evaluate_least_squares(
         return Series(out_name, preds, predict_valid)
 
 
+    if (
+        multi_target
+        and isinstance(target, StructSeries)
+        and function_name == "least_squares"
+        and mode != "statistics"
+    ):
+        # fused multi-target fast path: masking + padding + shared SVD +
+        # per-target prediction epilogue in ONE device program (the general
+        # path below runs ~12 eager stages, each paying a tunnel dispatch)
+        out = _multi_target_fused(
+            target, feat_series, kwargs, layout, weights
+        )
+        if out is not None:
+            return out
+
     y, yv, X, xv, names, target_names = _extract(target, feat_series)
     problem = masking.prepare_problem(policy, y, yv, X, xv, moving=moving)
     inv_w = None
@@ -1585,6 +1601,156 @@ def _multi_preds_grouped(X, beta, g, unpad_idx, num_groups: int, R: int,
                     else jnp.take(acc.reshape(-1), unpad_idx, axis=0))
     preds = jnp.stack(cols, axis=-1)
     return preds if inv_w is None else preds * inv_w[:, None]
+
+
+def _features_stack_cached(feat_series):
+    """[N, K] feature (values, validity) stack memoized on the first feature
+    Series — multi-target queries rebuild their target struct per call, so
+    the target-keyed `_stack_cached` never hits for them."""
+    key = ("fstack",) + tuple(id(s) for s in feat_series)
+    owner = feat_series[0]
+    cache = getattr(owner, "_layout_cache", None)
+    if cache is not None and key in cache:
+        return cache[key][0]
+    X = jnp.stack([jnp.asarray(s.values, dtype=F64) for s in feat_series], axis=1)
+    xv = None
+    if any(s.validity is not None for s in feat_series):
+        xv = jnp.stack([s.valid_mask() for s in feat_series], axis=1)
+    out = (X, xv)
+    try:
+        if cache is None:
+            cache = {}
+            object.__setattr__(owner, "_layout_cache", cache)
+            register_cache_owner(owner)
+        if len(cache) >= _STACK_CACHE_LIMIT:
+            cache.pop(next(iter(cache)))
+        cache[key] = (out, tuple(feat_series))  # hold refs: keys use id()s
+    except AttributeError:
+        pass
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_groups", "R", "policy", "rcond", "pair", "use_lanes"),
+)
+def _multi_fused_kernel(
+    y,  # [N, M] raw target struct values
+    yv,  # [N, M] bool validity, or None
+    X,  # [N, K] raw features
+    xv,  # [N, K] bool validity, or None
+    w_vals,  # [N] sample weights, or None
+    w_valid,  # [N] weight validity (only when w_vals is not None)
+    g,  # [G*R] padded gather map (None when num_groups == 1)
+    pmask,  # [G, R] padding mask (None when num_groups == 1)
+    unpad_idx,  # row-order unpad map (None when num_groups == 1)
+    alpha,
+    *,
+    num_groups: int,
+    R: int,
+    policy: str,
+    rcond,
+    pair: bool,
+    use_lanes: bool,
+):
+    """Whole multi-target query in one program: null policy, WLS scaling,
+    group padding, the shared SVD solve (reference least_squares.py:282-329,
+    src/least_squares.rs:243-260) and the per-target prediction epilogue.
+    The general path runs these as ~12 eager stages — each pays a ~30 ms
+    remote dispatch (measured 296 ms at 2M x 5 x 2 targets grouped)."""
+    M = y.shape[1]
+    K = X.shape[1]
+    yv_ = yv if yv is not None else jnp.ones_like(y, dtype=bool)
+    xv_ = xv if xv is not None else jnp.ones_like(X, dtype=bool)
+    problem = masking.prepare_problem(policy, y, yv_, X, xv_)
+    yf, Xf, mask = problem.y, problem.X, problem.fit_mask
+    if w_vals is not None:
+        # sqrt(w)-scale the FIT system only; predictions broadcast over the
+        # unscaled X_predict below, so no 1/sqrt(w) post-step is needed
+        sq, _ = _weight_vectors(w_vals, w_valid)
+        yf = yf * sq[:, None]
+        Xf = Xf * sq[:, None]
+    if num_groups == 1:
+        Xp, yp, wp = Xf[None], yf[None], mask[None]
+    else:
+        Xp = jnp.take(Xf, g, axis=0).reshape(num_groups, R, K)
+        yp = jnp.take(yf, g, axis=0).reshape(num_groups, R, M)
+        wp = pmask & jnp.take(mask, g).reshape(num_groups, R)
+    n_valid = wp.sum(axis=1)
+    Xp = Xp * wp[..., None]
+    yp = yp * wp[..., None]
+    if use_lanes:
+        from ..ops.linalg import svd_lstsq_lanes
+
+        beta = svd_lstsq_lanes(Xp, yp, alpha=alpha, rcond=rcond, n_valid=n_valid)
+    else:
+        beta = solve_from_rows(Xp, yp, alpha, "svd", rcond, n_valid)
+    # predictions broadcast over the unweighted zero-filled features
+    Xq = problem.X_predict
+    cols = []
+    if num_groups == 1:
+        for m in range(M):
+            acc = Xq[:, 0] * beta[0, 0, m]
+            for kk in range(1, K):
+                acc = acc + Xq[:, kk] * beta[0, kk, m]
+            cols.append(acc)
+    else:
+        Xqp = jnp.take(Xq, g, axis=0).reshape(num_groups, R, K)
+        for m in range(M):
+            acc = Xqp[..., 0] * beta[:, None, 0, m]
+            for kk in range(1, K):
+                acc = acc + Xqp[..., kk] * beta[:, None, kk, m]
+            cols.append(
+                _unpad_preds(acc, unpad_idx)
+                if pair
+                else jnp.take(acc.reshape(-1), unpad_idx, axis=0)
+            )
+    preds = jnp.stack(cols, axis=-1)
+    validity = None
+    if problem.predict_valid is not None:
+        validity = problem.predict_valid[:, None] & jnp.ones_like(preds, dtype=bool)
+    return preds, validity
+
+
+def _multi_target_fused(target, feat_series, kwargs, layout, weights):
+    """Fused multi-target dispatch. Returns the predictions StructSeries, or
+    None when the group-sharded whole-group solve should run instead
+    (auto_shard on a multi-device mesh, handled by `_fit_static`)."""
+    G = layout.num_groups
+    if CONFIG.auto_shard and jax.device_count() > 1 and G >= jax.device_count():
+        return None
+    k = len(feat_series)
+    X, xv = _features_stack_cached(feat_series)
+    if G == 1:
+        g = pmask = unpad = None
+        R = int(X.shape[0])
+    else:
+        g, pmask, R = layout.device_padded()
+        unpad = layout.device_unpad(R)
+    w_vals = w_valid = None
+    if weights is not None:
+        w_vals = jnp.asarray(weights.values, dtype=F64)
+        w_valid = weights.valid_mask()
+    use_lanes = k <= 8 and G >= 64 and R > k
+    preds, validity = _multi_fused_kernel(
+        target.values,
+        target.validity,
+        X,
+        xv,
+        w_vals,
+        w_valid,
+        g,
+        pmask,
+        unpad,
+        jnp.asarray(float(kwargs.alpha or 0.0), F64),
+        num_groups=G,
+        R=R,
+        policy=kwargs.null_policy,
+        rcond=kwargs.rcond,
+        pair=CONFIG.pair_gather,
+        use_lanes=use_lanes,
+    )
+    return StructSeries("predictions", target.field_names, preds, validity)
 
 
 def _multi_target_output(problem, beta, layout, target_names, inv_w=None):

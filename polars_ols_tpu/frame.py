@@ -301,7 +301,7 @@ class DataFrame:
                     keys.extend(v[:, j] for j in range(v.shape[1]))
             elif isinstance(c, StatisticsSeries):
                 if c._row_index is not None:
-                    keys.append(np.asarray(c._row_index))
+                    keys.append(c.composed_index())
                 else:
                     for fk in c.SCALAR_FIELDS:
                         keys.append(np.asarray(c.arrays[fk]))

@@ -374,9 +374,16 @@ class StructSeries:
 
 
 @jax.jit
-def _gather_fields(base, idx):
+def _gather_fields(base, chain):
     """Gather every statistics field with one compiled program (an eager
-    per-field loop pays a ~30 ms remote dispatch per field)."""
+    per-field loop pays a ~30 ms remote dispatch per field).
+
+    ``chain`` is a tuple of index maps applied outermost-first: the final
+    row index is chain[0][chain[1][...]] — gathers of gathers compose
+    inside this one program instead of paying an eager dispatch each."""
+    idx = chain[-1]
+    for link in chain[-2::-1]:
+        idx = jnp.take(link, idx, axis=0)
     return tuple(jnp.take(v, idx, axis=0) for v in base)
 
 
@@ -402,8 +409,9 @@ class StatisticsSeries:
     Row broadcast is deferred: ``.over(keys)`` (and joins/filters) record
     an index map over the [G]-level base arrays instead of gathering
     (3 + 4K) x N elements per query — the BlockPermuted idea applied to
-    struct columns. Gathers compose; ``.arrays`` materialises (and caches)
-    the row-level view on first access.
+    struct columns. Gathers compose *lazily* (a chain of index maps folded
+    inside one device program); ``.arrays`` materialises (and caches) the
+    row-level view on first access.
     """
 
     __slots__ = ("name", "feature_names", "_base", "_row_index", "_mat", "_rows")
@@ -421,13 +429,17 @@ class StatisticsSeries:
         self.name = name
         self.feature_names = list(feature_names)
         self._base = arrays  # field -> device array, [G] or [G, K]
-        self._row_index = row_index  # [N] int index into the base, or None
+        # chain of index maps into the base, applied outermost-first
+        # (composed lazily inside `_gather_fields`), or None
+        if row_index is not None and not isinstance(row_index, tuple):
+            row_index = (row_index,)
+        self._row_index = row_index
         self._mat = None
         self._rows = None
 
     def __len__(self) -> int:
         if self._row_index is not None:
-            return int(self._row_index.shape[0])
+            return int(self._row_index[-1].shape[0])
         return int(self._base["r2"].shape[0])
 
     @property
@@ -453,16 +465,38 @@ class StatisticsSeries:
             self._mat = dict(zip(keys, gathered))
         return self._mat
 
+    def composed_index(self):
+        """Final per-row index into the base arrays (host numpy), or None
+        when the series is base-level (host consumers, e.g. unique-keying)."""
+        if self._row_index is None:
+            return None
+        idx = np.asarray(self._row_index[-1])
+        for link in self._row_index[-2::-1]:
+            idx = np.asarray(link)[idx]
+        return idx
+
+    def head(self, n: int = 5) -> "StatisticsSeries":
+        return self.gather(np.arange(min(n, len(self))))
+
+    def tail(self, n: int = 5) -> "StatisticsSeries":
+        return self.gather(np.arange(max(0, len(self) - n), len(self)))
+
     def alias(self, name: str) -> "StatisticsSeries":
         return StatisticsSeries(
             name, self.feature_names, self._base, self._row_index
         )
 
     def gather(self, indices) -> "StatisticsSeries":
-        idx = jnp.asarray(np.asarray(indices))
-        if self._row_index is not None:
-            idx = jnp.take(self._row_index, idx, axis=0)
-        return StatisticsSeries(self.name, self.feature_names, self._base, idx)
+        # keep device-resident indices on device (a numpy round-trip would
+        # fetch + re-upload an [N]-sized map through the tunnel per call)
+        if isinstance(indices, jax.Array):
+            idx = indices
+        else:
+            idx = jnp.asarray(np.asarray(indices))
+        # defer composition: an eager take here would pay a dispatch per
+        # gather-of-gather; the chain folds inside `_gather_fields`
+        chain = (idx,) if self._row_index is None else self._row_index + (idx,)
+        return StatisticsSeries(self.name, self.feature_names, self._base, chain)
 
     def filter(self, mask) -> "StatisticsSeries":
         mask = np.asarray(mask, dtype=bool)

@@ -722,6 +722,38 @@ def test_multi_target_regression(alpha, mode, null_policy):
     assert np.allclose(got, exp, equal_nan=True, atol=1e-8)
 
 
+def test_multi_target_weighted_grouped():
+    """Weighted multi-target fits match per-target WLS (exercises the fused
+    kernel's sqrt-weight scaling + 1/sqrt(w) prediction unscaling)."""
+    rng = np.random.default_rng(7)
+    df = _make_data(n_samples=2_000, n_features=3, n_groups=5)
+    w = rng.uniform(0.1, 2.0, size=2_000)
+    df = df.with_columns(pot.lit(w).alias("w")).with_columns(
+        pot.struct(
+            y1=col("x1") + 2.0 * col("x2"),
+            y2=col("x2") - col("x3"),
+        ).alias("t")
+    )
+    got = df.select(
+        compute_multi_target_least_squares(
+            "t", col("^x.*$"), sample_weights=col("w")
+        )
+        .over("group")
+        .alias("p")
+    ).unnest("p").to_numpy().astype(float)
+    exp = df.unnest("t").select(
+        *[
+            compute_least_squares(
+                target, col("^x.*$"), sample_weights=col("w")
+            )
+            .over("group")
+            .alias(target)
+            for target in ("y1", "y2")
+        ]
+    ).to_numpy().astype(float)
+    assert np.allclose(got, exp, equal_nan=True, atol=1e-8)
+
+
 # --------------------------------------------------------------------------- #
 # formula / predict / statistics
 # --------------------------------------------------------------------------- #
