@@ -28,6 +28,7 @@ if os.environ.get("JAX_PLATFORMS"):
 
 import polars_ols_tpu as pls  # noqa: E402
 from polars_ols_tpu import col
+from polars_ols_tpu.series import StatisticsSeries  # noqa: E402
 
 
 # published reference wall times in ms (BASELINE.md; Apple M2 Max)
@@ -62,8 +63,14 @@ def _sync(out):
     would measure the ~35 ms/MB tunnel, not the device program). The
     statistics tail goes through the deferred row broadcast — the fetch
     depends on the fused kernel's output (all groups), which is what
-    bounds the batch, without forcing the O(N) row materialization."""
-    if hasattr(out, "arrays"):  # StatisticsSeries
+    bounds the batch, without forcing the O(N) row materialization.
+
+    NB: the type check must NOT be an instance-level ``hasattr(out,
+    "arrays")`` — ``arrays`` is a property, and hasattr would EXECUTE it,
+    materialising the full [N]-row broadcast of every field per rep
+    (this exact bug made the statistics row read 241 ms instead of its
+    real 50 ms for two rounds)."""
+    if isinstance(out, StatisticsSeries):
         tail = out.gather(np.arange(max(0, len(out) - 2), len(out)))
         arrays = tail.arrays  # ONE fused gather program over all fields
         np.asarray(next(iter(arrays.values())))

@@ -109,5 +109,13 @@ def device_sync(x) -> None:
     `block_until_ready` can return early, so a tiny host fetch is used."""
     import numpy as np
 
-    leaf = x.values if hasattr(x, "values") else x
+    # check the CLASS, not the instance: `values` is a property on the
+    # series types, and instance-level hasattr would EXECUTE the getter
+    # (for StatisticsSeries that materialises every row on the host)
+    from .series import StatisticsSeries
+
+    if isinstance(x, StatisticsSeries):
+        np.asarray(x._base["r2"][:1])  # bounds the fused kernel, O(1) host
+        return
+    leaf = x.values if hasattr(type(x), "values") else x
     np.asarray(leaf[:1])
