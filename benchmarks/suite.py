@@ -70,6 +70,9 @@ def _sync(out):
     materialising the full [N]-row broadcast of every field per rep
     (this exact bug made the statistics row read 241 ms instead of its
     real 50 ms for two rounds)."""
+    if isinstance(out, dict):  # statistics_mat: materialized field arrays
+        np.asarray(next(iter(out.values()))[-2:])
+        return
     if isinstance(out, StatisticsSeries):
         tail = out.gather(np.arange(max(0, len(out) - 2), len(out)))
         arrays = tail.arrays  # ONE fused gather program over all fields
@@ -121,6 +124,12 @@ def _queries(df, k: int, grouped: bool):
         out["statistics"] = lambda: df.select(
             over(ls.ols(*feats, mode="statistics")).alias("s")
         )["s"]
+        # same query, but force the full [N]-row broadcast of every field
+        # (the conservative materialized reading; `statistics` above defers
+        # the row view like the reference's lazy collect would)
+        out["statistics_mat"] = lambda: df.select(
+            over(ls.ols(*feats, mode="statistics")).alias("s")
+        )["s"].arrays
         out["multi_target"] = lambda: df.select(
             over(
                 pls.struct(col("y"), col("y2"))

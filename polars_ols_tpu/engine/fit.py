@@ -1631,85 +1631,130 @@ def _features_stack_cached(feat_series):
 
 
 @partial(
-    jax.jit,
-    static_argnames=("num_groups", "R", "policy", "rcond", "pair", "use_lanes"),
+    jax.jit, static_argnames=("num_groups", "R", "policy", "weighted", "M")
 )
-def _multi_fused_kernel(
-    y,  # [N, M] raw target struct values
-    yv,  # [N, M] bool validity, or None
-    X,  # [N, K] raw features
-    xv,  # [N, K] bool validity, or None
-    w_vals,  # [N] sample weights, or None
-    w_valid,  # [N] weight validity (only when w_vals is not None)
-    g,  # [G*R] padded gather map (None when num_groups == 1)
-    pmask,  # [G, R] padding mask (None when num_groups == 1)
-    unpad_idx,  # row-order unpad map (None when num_groups == 1)
-    alpha,
-    *,
-    num_groups: int,
-    R: int,
-    policy: str,
-    rcond,
-    pair: bool,
-    use_lanes: bool,
+def _build_mt_padded(
+    y, yv, X, xv, w_vals, w_valid, g, pmask,
+    *, num_groups: int, R: int, policy: str, weighted: bool, M: int,
 ):
-    """Whole multi-target query in one program: null policy, WLS scaling,
-    group padding, the shared SVD solve (reference least_squares.py:282-329,
-    src/least_squares.rs:243-260) and the per-target prediction epilogue.
-    The general path runs these as ~12 eager stages — each pays a ~30 ms
-    remote dispatch (measured 296 ms at 2M x 5 x 2 targets grouped)."""
-    M = y.shape[1]
+    """Materialize the padded multi-target partition in ONE program (run
+    once per (struct target, features, policy, weights); cached). Packs
+    [masked+weighted targets, masked+weighted features, fit mask, predict
+    features] into a single [N, ...] matrix so the whole build is one row
+    gather. Returns (Xp [G,R,K], Yp [G,R,M], wp [G,R], Xq_p or None,
+    predict_valid or None)."""
     K = X.shape[1]
     yv_ = yv if yv is not None else jnp.ones_like(y, dtype=bool)
     xv_ = xv if xv is not None else jnp.ones_like(X, dtype=bool)
     problem = masking.prepare_problem(policy, y, yv_, X, xv_)
     yf, Xf, mask = problem.y, problem.X, problem.fit_mask
-    if w_vals is not None:
+    if weighted:
         # sqrt(w)-scale the FIT system only; predictions broadcast over the
-        # unscaled X_predict below, so no 1/sqrt(w) post-step is needed
+        # unscaled X_predict, so no 1/sqrt(w) post-step is needed
         sq, _ = _weight_vectors(w_vals, w_valid)
         yf = yf * sq[:, None]
         Xf = Xf * sq[:, None]
+    # predict features differ from fit features whenever masking or weight
+    # scaling touched them; pack them alongside only then
+    same_predict = (yv is None and xv is None) and not weighted
+    cols = [yf, Xf, mask[:, None].astype(F64)]
+    if not same_predict:
+        cols.append(problem.X_predict)
+    Z = jnp.concatenate(cols, axis=1)
     if num_groups == 1:
-        Xp, yp, wp = Xf[None], yf[None], mask[None]
+        Zp = Z[None]
+        wp = (Zp[..., M + K] > 0.5)
     else:
-        Xp = jnp.take(Xf, g, axis=0).reshape(num_groups, R, K)
-        yp = jnp.take(yf, g, axis=0).reshape(num_groups, R, M)
-        wp = pmask & jnp.take(mask, g).reshape(num_groups, R)
+        Zp = jnp.take(Z, g, axis=0).reshape(num_groups, R, Z.shape[1])
+        wp = pmask & (Zp[..., M + K] > 0.5)
+    Yp = Zp[..., :M]
+    Xp = Zp[..., M : M + K]
+    Xq_p = None if same_predict else Zp[..., M + K + 1 :]
+    return Xp, Yp, wp, Xq_p, problem.predict_valid
+
+
+def _mt_padded_cached(layout, target, X, xv, weights, policy: str):
+    """Padded multi-target partition cache (keyed like `_padded_cached`):
+    steady-state multi-target queries skip masking and the [N -> G x R]
+    gather entirely — device gathers are the dominant per-call cost on
+    this backend (re-gathering X/Y per call measured 230 ms vs ~50 ms for
+    the cached single-target path at 2M x 5 x 10k)."""
+    G = layout.num_groups
+    y = target.values
+    yv = target.validity
+    if G == 1:
+        g, pmask, R = None, None, int(y.shape[0])
+    else:
+        g, pmask, R = layout.device_padded()
+    w_vals = w_valid = None
+    if weights is not None:
+        w_vals = jnp.asarray(weights.values, dtype=F64)
+        w_valid = weights.valid_mask()
+    key = ("mtpad", id(y), id(yv), id(X), id(xv), id(weights), policy, R)
+    if key not in layout._dev:
+        out = _build_mt_padded(
+            y, yv, X, xv, w_vals, w_valid, g, pmask,
+            num_groups=G, R=R, policy=policy,
+            weighted=weights is not None, M=int(y.shape[1]),
+        )
+        mt_keys = [k_ for k_ in layout._dev if isinstance(k_, tuple) and k_[0] == "mtpad"]
+        if len(mt_keys) >= 2:
+            del layout._dev[mt_keys[0]]
+        # hold refs to the keyed objects so the ids stay valid
+        layout._dev[key] = out + (y, yv, X, xv, weights)
+    entry = layout._dev.pop(key)
+    layout._dev[key] = entry
+    return entry[0], entry[1], entry[2], entry[3], entry[4]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_groups", "rcond", "pair", "use_lanes"),
+)
+def _multi_fused_kernel(
+    Xp,  # [G, R, K] padded fit features (masked rows zeroed via wp below)
+    Yp,  # [G, R, M] padded targets
+    wp,  # [G, R] fit mask
+    Xq_p,  # [G, R, K] padded predict features, or None to reuse Xp
+    unpad_idx,  # row-order unpad map (None when num_groups == 1)
+    alpha,
+    *,
+    num_groups: int,
+    rcond,
+    pair: bool,
+    use_lanes: bool,
+):
+    """Multi-target solve + predict in one program over the cached padded
+    partition: the shared SVD serves all M targets (reference
+    least_squares.py:282-329, src/least_squares.rs:243-260), predictions
+    broadcast per target as K fused multiply-adds + a row-order unpad."""
+    K = Xp.shape[-1]
+    M = Yp.shape[-1]
     n_valid = wp.sum(axis=1)
-    Xp = Xp * wp[..., None]
-    yp = yp * wp[..., None]
+    Xf = Xp * wp[..., None]
+    Yf = Yp * wp[..., None]
     if use_lanes:
         from ..ops.linalg import svd_lstsq_lanes
 
-        beta = svd_lstsq_lanes(Xp, yp, alpha=alpha, rcond=rcond, n_valid=n_valid)
+        beta = svd_lstsq_lanes(Xf, Yf, alpha=alpha, rcond=rcond, n_valid=n_valid)
     else:
-        beta = solve_from_rows(Xp, yp, alpha, "svd", rcond, n_valid)
-    # predictions broadcast over the unweighted zero-filled features
-    Xq = problem.X_predict
+        beta = solve_from_rows(Xf, Yf, alpha, "svd", rcond, n_valid)
+    Xq = Xp if Xq_p is None else Xq_p
     cols = []
-    if num_groups == 1:
-        for m in range(M):
-            acc = Xq[:, 0] * beta[0, 0, m]
-            for kk in range(1, K):
-                acc = acc + Xq[:, kk] * beta[0, kk, m]
-            cols.append(acc)
-    else:
-        Xqp = jnp.take(Xq, g, axis=0).reshape(num_groups, R, K)
-        for m in range(M):
-            acc = Xqp[..., 0] * beta[:, None, 0, m]
-            for kk in range(1, K):
-                acc = acc + Xqp[..., kk] * beta[:, None, kk, m]
+    for m in range(M):
+        acc = Xq[..., 0] * beta[:, None, 0, m]
+        for kk in range(1, K):
+            acc = acc + Xq[..., kk] * beta[:, None, kk, m]
+        if num_groups == 1:
+            cols.append(acc[0])
+        else:
             cols.append(
                 _unpad_preds(acc, unpad_idx)
                 if pair
                 else jnp.take(acc.reshape(-1), unpad_idx, axis=0)
             )
     preds = jnp.stack(cols, axis=-1)
-    validity = None
-    if problem.predict_valid is not None:
-        validity = problem.predict_valid[:, None] & jnp.ones_like(preds, dtype=bool)
-    return preds, validity
+    return preds
 
 
 def _multi_target_fused(target, feat_series, kwargs, layout, weights):
@@ -1721,35 +1766,23 @@ def _multi_target_fused(target, feat_series, kwargs, layout, weights):
         return None
     k = len(feat_series)
     X, xv = _features_stack_cached(feat_series)
-    if G == 1:
-        g = pmask = unpad = None
-        R = int(X.shape[0])
-    else:
-        g, pmask, R = layout.device_padded()
-        unpad = layout.device_unpad(R)
-    w_vals = w_valid = None
-    if weights is not None:
-        w_vals = jnp.asarray(weights.values, dtype=F64)
-        w_valid = weights.valid_mask()
+    Xp, Yp, wp, Xq_p, predict_valid = _mt_padded_cached(
+        layout, target, X, xv, weights, kwargs.null_policy
+    )
+    R = Xp.shape[1]
+    unpad = None if G == 1 else layout.device_unpad(R)
     use_lanes = k <= 8 and G >= 64 and R > k
-    preds, validity = _multi_fused_kernel(
-        target.values,
-        target.validity,
-        X,
-        xv,
-        w_vals,
-        w_valid,
-        g,
-        pmask,
-        unpad,
+    preds = _multi_fused_kernel(
+        Xp, Yp, wp, Xq_p, unpad,
         jnp.asarray(float(kwargs.alpha or 0.0), F64),
         num_groups=G,
-        R=R,
-        policy=kwargs.null_policy,
         rcond=kwargs.rcond,
         pair=CONFIG.pair_gather,
         use_lanes=use_lanes,
     )
+    validity = None
+    if predict_valid is not None:
+        validity = predict_valid[:, None] & jnp.ones_like(preds, dtype=bool)
     return StructSeries("predictions", target.field_names, preds, validity)
 
 

