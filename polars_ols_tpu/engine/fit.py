@@ -1852,7 +1852,8 @@ def evaluate_predict(coef, feat_series: List[Series], null_policy: str, name: st
         "the first input to predict must be a coefficients struct"
     )
     assert len(coef.field_names) == len(feat_series), (
-        "number of coefficients must match number of features!"
+        f"coefficient struct has {len(coef.field_names)} fields but "
+        f"{len(feat_series)} feature columns were passed"
     )
     X = jnp.stack([jnp.asarray(s.values, dtype=F64) for s in feat_series], axis=1)
     xv = jnp.stack([s.valid_mask() for s in feat_series], axis=1)

@@ -145,7 +145,7 @@ def _pre_process_data(
     add_const = False
     if add_intercept:
         if any(f.meta.output_name == "const" for f in features):
-            logger.info("feature named 'const' already detected, assuming it is an intercept")
+            logger.info("a 'const' column is present among the features; treating it as the intercept")
         else:
             add_const = True
     weights: Optional[Expr] = None
@@ -232,7 +232,7 @@ def compute_multi_target_least_squares(
         "svd",
         None,
     }, "multi-target fits solve through the shared SVD; pass solve_method='svd' or None"
-    if mode == "coefficients":
+    if mode not in ("predictions", "residuals"):
         raise NotImplementedError(
             "multi-target mode must be 'predictions' or 'residuals'." + msg
         )
@@ -343,14 +343,17 @@ def predict(
 ) -> Expr:
     """Row-aligned coefficient-struct dot features (reference
     least_squares.py:455-491)."""
-    assert null_policy in _VALID_NULL_POLICIES, (
+    # the reference's predict entry point handles exactly zero/ignore/drop
+    # (src/expressions.rs:706-741); reject the fit-only policies up front
+    # rather than silently treating them as "zero".
+    assert null_policy in {"zero", "ignore", "drop"}, (
         f"unknown null_policy {null_policy!r}; predict supports drop/ignore/zero"
     )
     coefficients = parse_into_expr(coefficients)
     features = [parse_into_expr(f) for f in features]
     if add_intercept:
         if any(f.meta.output_name == "const" for f in features):
-            logger.warning("feature named 'const' already detected, assuming it is the intercept")
+            logger.warning("a 'const' column is present among the features; treating it as the intercept")
         else:
             features.append(lit(1.0).alias("const"))
     return PredictExpr(coefficients, features, null_policy, name or "predictions")

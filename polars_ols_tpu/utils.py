@@ -31,6 +31,13 @@ def build_expressions_from_patsy_formula(
         ...     "y ~ x1 + x2 + x3:x4 - 1", include_dependent_variable=True)
         >>> [e.meta.output_name for e in exprs], intercept
         (['y', 'x1', 'x2', 'x3:x4'], False)
+
+        Term removal works like patsy, left to right (utils.py:86-108 of the
+        reference routes through patsy, where `a + b - b` drops `b`):
+        >>> exprs, intercept = build_expressions_from_patsy_formula(
+        ...     "y ~ x1 + x2 + x3 - x2", include_dependent_variable=True)
+        >>> [e.meta.output_name for e in exprs], intercept
+        (['y', 'x1', 'x3'], True)
     """
     if include_dependent_variable:
         assert "~" in formula, "formula must contain '~' to include a dependent variable"
@@ -51,9 +58,17 @@ def build_expressions_from_patsy_formula(
         if t in ("-1", "+0", "0"):
             add_intercept = False
             continue
+        if t == "1":
+            add_intercept = True
+            continue
         if t.startswith("-"):
-            raise ValueError(f"term removal {t!r} is not supported (only '- 1')")
-        terms.append(t)
+            # patsy set-difference semantics, applied left to right:
+            # "x1 + x2 - x2" drops x2; removing an absent term is a no-op.
+            removed = t[1:]
+            terms = [term for term in terms if term != removed]
+            continue
+        if t not in terms:
+            terms.append(t)
 
     assert not any("C(" in t for t in terms), "categorical variables are not yet supported"
     for t in terms:

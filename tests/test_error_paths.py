@@ -70,6 +70,29 @@ def test_multi_target_coefficients_unsupported(df):
         )
 
 
+def test_multi_target_statistics_unsupported(df):
+    # reference asserts mode in {predictions, residuals} for multi-target
+    # (polars_ols/least_squares.py:304-318); statistics must raise the same
+    # intended message, not fall through to a shape error.
+    with pytest.raises(NotImplementedError, match="predictions"):
+        df.select(
+            pot.struct(col("y"), col("x2")).least_squares.multi_target_ols(
+                col("x1"), mode="statistics"
+            )
+        )
+
+
+def test_predict_rejects_fit_only_null_policies(df):
+    # predict handles exactly zero/ignore/drop (src/expressions.rs:706-741)
+    fitted = df.with_columns(
+        col("y").least_squares.ols(col("x1"), mode="coefficients").alias("c")
+    )
+    with pytest.raises(AssertionError, match="drop/ignore/zero"):
+        fitted.select(
+            col("c").least_squares.predict(col("x1"), null_policy="drop_zero")
+        )
+
+
 def test_elastic_net_requires_positive_alpha(df):
     # matches the reference CD precondition (src/least_squares.rs:409)
     with pytest.raises(AssertionError, match="alpha"):
@@ -88,5 +111,5 @@ def test_predict_feature_count_mismatch(df):
         .least_squares.ols(col("x1"), col("x2"), mode="coefficients")
         .alias("c")
     )
-    with pytest.raises(AssertionError, match="features"):
+    with pytest.raises(AssertionError, match="feature"):
         fitted.select(col("c").least_squares.predict(col("x1")))

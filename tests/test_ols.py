@@ -799,6 +799,41 @@ def test_formula_interactions():
     assert np.allclose(got, expected, atol=1e-10)
 
 
+def test_formula_term_removal():
+    # patsy (which the reference parses through, polars_ols/utils.py:86-108)
+    # treats "- term" as set difference applied left to right
+    from polars_ols_tpu.utils import build_expressions_from_patsy_formula
+
+    exprs, add_intercept = build_expressions_from_patsy_formula(
+        "y ~ x1 + x2 + x3 - x2", include_dependent_variable=True
+    )
+    assert [e.meta.output_name for e in exprs] == ["y", "x1", "x3"]
+    assert add_intercept
+
+    # removal of an absent term is a no-op; dedup matches patsy; "- 1" still
+    # drops the intercept alongside term removal
+    exprs, add_intercept = build_expressions_from_patsy_formula(
+        "y ~ x1 + x1 + x2 - x9 - 1", include_dependent_variable=True
+    )
+    assert [e.meta.output_name for e in exprs] == ["y", "x1", "x2"]
+    assert not add_intercept
+
+    # interaction terms are removable by their full name
+    exprs, _ = build_expressions_from_patsy_formula(
+        "x1 + x2:x3 - x2:x3 + x4", include_dependent_variable=False
+    )
+    assert [e.meta.output_name for e in exprs] == ["x1", "x4"]
+
+    df = _make_data(n_features=3, n_groups=1)
+    out = df.select(
+        col("y").least_squares.from_formula("x1 + x2 - x2 - 1", mode="coefficients")
+    )
+    x = df["x1"].to_numpy()[:, None]
+    expected = oracles.lstsq(x, df["y"].to_numpy())
+    got = out.unnest("coefficients").to_numpy().flatten()
+    assert np.allclose(got, expected, atol=1e-10)
+
+
 def test_predict():
     df = _make_data(n_groups=1)
     df_test = _make_data(n_samples=20, n_groups=1).drop("y")
