@@ -46,6 +46,24 @@ REFERENCE_MS = {
 }
 
 
+def dispatch_floor(reps: int = 9) -> float:
+    """The tunnel's round-trip cost for ONE trivial program (dispatch + tiny
+    fetch), in ms. Dispatches do not pipeline on this backend
+    (experiments/floor_probe.py), so this floor bounds every eager query;
+    the fused multi-query select amortizes it (engine/batch.py)."""
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(8)
+    np.asarray(f(x)[:1])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(x)[:1])
+        times.append(time.perf_counter() - t0)
+    return float(np.min(times) * 1e3)
+
+
 def _make_df(n: int, k: int, n_groups=None, seed=0):
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(n, k))
@@ -163,10 +181,62 @@ def run_config(name: str, n: int, k: int, n_groups=None, models=None):
         print(f"{model:<14} {mn:8.3f}ms {med:8.3f}ms {iqr:6.1f}ms {rtxt} {stxt}")
 
 
+def run_batch_config(n: int, k: int, batch_sizes=(4, 8, 16)):
+    """Amortized multi-query cost: M independent fits (distinct targets on a
+    shared design — a cross-sectional screening workload) in ONE select
+    compile into ONE device program (engine/batch.py). Reported per-query
+    cost is what a reference user doing M queries would compare against its
+    per-call wall time (17.6 ms for ols_qr at 10k x 100, README.md:229)."""
+    rng = np.random.default_rng(0)
+    m_max = max(batch_sizes)
+    x = rng.normal(size=(n, k))
+    data = {f"x{i+1}": x[:, i] for i in range(k)}
+    for j in range(m_max):
+        data[f"y{j}"] = x @ rng.normal(size=k) + rng.normal(size=n, scale=0.1)
+    df = pls.DataFrame(data)
+    feats = [col(f"x{i+1}") for i in range(k)]
+    floor = dispatch_floor()
+    print(f"\n## config 'batch': n={n:,} k={k} (fused multi-query select)")
+    print(f"dispatch floor (1 trivial program round trip): {floor:.2f} ms")
+    print(f"{'queries':<22} {'total min':>10} {'per-query':>10} {'reference':>10} {'speedup':>9}")
+    ref = REFERENCE_MS["large"]["ols_qr"] if (n, k) == (10_000, 100) else None
+    for m in batch_sizes:
+        def fn(m=m):
+            return df.select(
+                *[
+                    col(f"y{j}").least_squares.ols(
+                        *feats, solve_method="qr"
+                    ).alias(f"p{j}")
+                    for j in range(m)
+                ]
+            )[f"p{m-1}"]
+
+        mn, med, iqr = (v * 1e3 for v in _time(fn))
+        per = mn / m
+        rtxt = f"{ref:8.3f}ms" if ref else " " * 10
+        stxt = f"{ref / per:8.1f}x" if ref else ""
+        print(f"{m:>2} x ols_qr fused     {mn:8.3f}ms {per:8.3f}ms {rtxt} {stxt}")
+    # hyperparameter sweep: same target, 8 ridge alphas in one program
+    def sweep():
+        return df.select(
+            *[
+                col("y0").least_squares.ridge(*feats, alpha=a).alias(f"r{i}")
+                for i, a in enumerate((0.01, 0.03, 0.1, 0.3, 1.0, 3.0, 10.0, 30.0))
+            ]
+        )["r7"]
+
+    mn, med, iqr = (v * 1e3 for v in _time(sweep))
+    rref = REFERENCE_MS["large"]["ridge_chol"] if (n, k) == (10_000, 100) else None
+    rtxt = f"{rref:8.3f}ms" if rref else " " * 10
+    stxt = f"{rref / (mn / 8):8.1f}x" if rref else ""
+    print(f" 8 x ridge alpha sweep {mn:8.3f}ms {mn/8:8.3f}ms {rtxt} {stxt}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="all",
-                    choices=["small", "large", "grouped", "grouped_largek", "all"])
+                    choices=["small", "large", "grouped", "grouped_largek",
+                             "batch", "all"])
     ap.add_argument("--models", default=None,
                     help="comma-separated subset of model rows to run "
                     "(e.g. 'statistics,multi_target')")
@@ -198,6 +268,9 @@ def main():
         run_config("large", 10_000, 100, models=subset)
     if args.config in ("grouped", "all"):
         run_config("grouped", 2_000_000, 5, n_groups=10_000, models=subset)
+    if args.config in ("batch", "all"):
+        if subset is None or "batch" in subset:
+            run_batch_config(10_000, 100)
     if args.config in ("grouped_largek", "all"):
         # grouped moving models beyond the lane-chol tier (K > 32): the
         # refined-SM group-block path (the reference covers this regime

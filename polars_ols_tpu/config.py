@@ -59,6 +59,11 @@ class Config:
         # output with an [N] gather. Off until measured faster on the
         # target backend (experiments/gather_probe.py "rowspace" variant).
         self.row_epilogue = bool(int(os.environ.get("POLS_TPU_ROW_EPILOGUE", "0")))
+        # fuse a multi-expression select()'s independent fit queries into
+        # ONE device program (engine/batch.py): the tunnel dispatch floor
+        # (~25 ms) does not pipeline, so M eager queries cost M x floor
+        # while one fused program costs floor + M x exec
+        self.fused_select = bool(int(os.environ.get("POLS_TPU_FUSED_SELECT", "1")))
         # route grouped fits through the mesh-sharded engine
         # (parallel/sharded.py): rows stay in place, partial moments
         # psum_scatter-merge across shards; moving models shard the group

@@ -35,7 +35,7 @@ from ..ops.linalg import solve_psd, solve_psd_cond
 from ..ops.recursive import solve_recursive_least_squares
 from ..ops.rolling import solve_rolling_ols
 from ..ops.statistics import feature_metrics, residual_metrics
-from .groups import build_layout, register_cache_owner
+from .groups import register_cache_owner, single_layout
 
 F64 = jnp.float64
 
@@ -1111,7 +1111,7 @@ def evaluate_least_squares(
     k = len(feat_series)
     moving = function_name in ("recursive_least_squares", "rolling_least_squares")
     policy = kwargs.null_policy
-    layout = layout_in if layout_in is not None else build_layout(None, n)
+    layout = layout_in if layout_in is not None else single_layout(n)
     G = layout.num_groups
     out_name = target.name
 

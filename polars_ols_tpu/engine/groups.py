@@ -29,6 +29,28 @@ import numpy as np
 # walks this to release materialized partitions / digit planes / layouts
 _CACHE_OWNERS: "weakref.WeakSet" = weakref.WeakSet()
 
+# single-group (no .over()) layouts memoized on row count: the layout's
+# content depends only on n, and rebuilding it per query used to discard the
+# device-resident blocks/digit caches hanging off `_dev` — every single-frame
+# query re-paid the padded gather + digit decompose dispatches (~2 extra
+# serialized tunnel round trips). Small LRU: big-N host index arrays are
+# hundreds of MB.
+_SINGLE_LAYOUTS: Dict[int, "GroupLayout"] = {}
+_SINGLE_LAYOUTS_LIMIT = 4
+
+
+def single_layout(n_rows: int) -> "GroupLayout":
+    layout = _SINGLE_LAYOUTS.get(n_rows)
+    if layout is None:
+        layout = build_layout(None, n_rows)
+        register_cache_owner(layout)
+        if len(_SINGLE_LAYOUTS) >= _SINGLE_LAYOUTS_LIMIT:
+            _SINGLE_LAYOUTS.pop(next(iter(_SINGLE_LAYOUTS)))
+        _SINGLE_LAYOUTS[n_rows] = layout
+    else:
+        _SINGLE_LAYOUTS[n_rows] = _SINGLE_LAYOUTS.pop(n_rows)  # LRU touch
+    return layout
+
 
 def register_cache_owner(obj) -> None:
     try:
@@ -49,6 +71,7 @@ def clear_caches() -> None:
             cache = getattr(obj, "_layout_cache", None)
             if cache:
                 cache.clear()
+    _SINGLE_LAYOUTS.clear()
 
 from ..series import ObjectSeries, Series
 

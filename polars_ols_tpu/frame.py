@@ -108,6 +108,15 @@ class DataFrame:
             all_exprs.extend(e.expand(self))
         for name, e in named.items():
             all_exprs.append(parse_into_expr(e).alias(name))
+        if len(all_exprs) > 1:
+            # two or more fit expressions in one select compile into ONE
+            # device program (engine/batch.py) — dispatches don't pipeline
+            # through the tunnel, so fusing amortizes the ~25 ms floor
+            from .engine.batch import try_fused_select
+
+            fused = try_fused_select(self, all_exprs)
+            if fused is not None:
+                return fused
         return [e.evaluate(self) for e in all_exprs]
 
     def select(self, *exprs, **named) -> "DataFrame":

@@ -380,11 +380,27 @@ def _gather_fields(base, chain):
 
     ``chain`` is a tuple of index maps applied outermost-first: the final
     row index is chain[0][chain[1][...]] — gathers of gathers compose
-    inside this one program instead of paying an eager dispatch each."""
+    inside this one program instead of paying an eager dispatch each.
+
+    All fields are packed into ONE [G, 3+4K] matrix and broadcast to rows
+    with a single slice-size-C gather: row gathers on this backend are
+    bound by gather-op count and slice granularity, and the packed take
+    measured 48 -> 32 ms at 2M rows vs 7 separate takes (f32 pair-gathering
+    loses at this slice size — experiments/stats_gather_probe.py)."""
     idx = chain[-1]
     for link in chain[-2::-1]:
         idx = jnp.take(link, idx, axis=0)
-    return tuple(jnp.take(v, idx, axis=0) for v in base)
+    cols = [v[:, None] if v.ndim == 1 else v for v in base]
+    packed = jnp.concatenate(cols, axis=1)
+    out = jnp.take(packed, idx, axis=0)
+    outs = []
+    off = 0
+    for v, m in zip(base, cols):
+        w = m.shape[1]
+        sl = out[:, off : off + w]
+        outs.append(sl[:, 0] if v.ndim == 1 else sl)
+        off += w
+    return tuple(outs)
 
 
 @jax.jit
