@@ -45,40 +45,7 @@ from polars_ols_tpu.ops.moving import solve_rolling_lanes  # noqa: E402
 from functools import partial  # noqa: E402
 
 
-import re
-
-_DTYPE_BYTES = {"f64": 8, "f32": 4, "s64": 8, "s32": 4, "u32": 4, "bf16": 2,
-                "f16": 2, "s8": 1, "u8": 1, "pred": 1}
-_SHAPE_RE = re.compile(r"\b(f64|f32|s64|s32|u32|bf16|f16|s8|u8|pred)\[([0-9,]*)\]")
-_COLL_RE = re.compile(
-    r"\b(all-reduce|reduce-scatter|all-gather|collective-permute|all-to-all)"
-    r"(-done)?\("  # optimized TPU HLO emits async start/done pairs; count
-    # the -done half only — its result is the final tensor, while the
-    # -start result is a tuple that would double-count (sync forms, as on
-    # the CPU backend, still match the bare op name)
-)
-
-
-def collective_bytes(hlo_text: str) -> int:
-    """Sum the result bytes of every collective op in a compiled HLO module —
-    a *measured* communication volume per executed program (the >=80%
-    scaling-efficiency expectation rests on compute >> communication; this
-    puts a number behind it instead of prose arithmetic)."""
-    total = 0
-    for line in hlo_text.splitlines():
-        if not _COLL_RE.search(line):
-            continue
-        head = line.split("=", 1)[0] if "=" in line else ""
-        op_pos = _COLL_RE.search(line).start()
-        # result shapes appear between '=' and the op name
-        seg = line[len(head): op_pos]
-        for m in _SHAPE_RE.finditer(seg):
-            dims = [int(d) for d in m.group(2).split(",") if d]
-            n = 1
-            for d in dims:
-                n *= d
-            total += n * _DTYPE_BYTES[m.group(1)]
-    return total
+from polars_ols_tpu.parallel.introspect import collective_bytes  # noqa: E402
 
 
 def _sync(x):

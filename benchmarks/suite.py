@@ -181,7 +181,7 @@ def run_config(name: str, n: int, k: int, n_groups=None, models=None):
         print(f"{model:<14} {mn:8.3f}ms {med:8.3f}ms {iqr:6.1f}ms {rtxt} {stxt}")
 
 
-def run_batch_config(n: int, k: int, batch_sizes=(4, 8, 16)):
+def run_batch_config(n: int, k: int, batch_sizes=(4, 8), models=None):
     """Amortized multi-query cost: M independent fits (distinct targets on a
     shared design — a cross-sectional screening workload) in ONE select
     compile into ONE device program (engine/batch.py). Reported per-query
@@ -200,7 +200,12 @@ def run_batch_config(n: int, k: int, batch_sizes=(4, 8, 16)):
     print(f"dispatch floor (1 trivial program round trip): {floor:.2f} ms")
     print(f"{'queries':<22} {'total min':>10} {'per-query':>10} {'reference':>10} {'speedup':>9}")
     ref = REFERENCE_MS["large"]["ols_qr"] if (n, k) == (10_000, 100) else None
+    # XLA compile time grows superlinearly with fused program size on this
+    # backend (m=16 ols_qr bodies compile for >30 min remotely), so the
+    # published rows stop at m=8 — already past the amortization knee
     for m in batch_sizes:
+        if models is not None and f"batch{m}" not in models:
+            continue
         def fn(m=m):
             return df.select(
                 *[
@@ -216,6 +221,8 @@ def run_batch_config(n: int, k: int, batch_sizes=(4, 8, 16)):
         rtxt = f"{ref:8.3f}ms" if ref else " " * 10
         stxt = f"{ref / per:8.1f}x" if ref else ""
         print(f"{m:>2} x ols_qr fused     {mn:8.3f}ms {per:8.3f}ms {rtxt} {stxt}")
+    if models is not None and "sweep" not in models:
+        return
     # hyperparameter sweep: same target, 8 ridge alphas in one program
     def sweep():
         return df.select(
@@ -269,8 +276,7 @@ def main():
     if args.config in ("grouped", "all"):
         run_config("grouped", 2_000_000, 5, n_groups=10_000, models=subset)
     if args.config in ("batch", "all"):
-        if subset is None or "batch" in subset:
-            run_batch_config(10_000, 100)
+        run_batch_config(10_000, 100, models=subset)
     if args.config in ("grouped_largek", "all"):
         # grouped moving models beyond the lane-chol tier (K > 32): the
         # refined-SM group-block path (the reference covers this regime

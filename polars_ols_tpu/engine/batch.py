@@ -103,13 +103,20 @@ def _apply_one(statics: tuple, args: tuple):
 
 
 def _get_runner(sig: tuple):
+    """sig is a tuple of per-query (statics, arg_indices): arg_indices map
+    into a DEDUPLICATED flat argument list. Queries sharing input arrays
+    (the same cached partition under several alphas, the same weight
+    vector, ...) reference one program parameter, so XLA's CSE folds their
+    shared subcomputations — an 8-alpha ridge sweep computes its moment
+    matrices once, not eight times."""
     runner = _RUNNERS.get(sig)
     if runner is None:
 
         @jax.jit
-        def runner(all_args):
+        def runner(unique_args):
             return tuple(
-                _apply_one(statics, args) for statics, args in zip(sig, all_args)
+                _apply_one(statics, tuple(unique_args[i] for i in idxs))
+                for statics, idxs in sig
             )
 
         _RUNNERS[sig] = runner
@@ -392,9 +399,24 @@ def try_fused_select(df, exprs: List) -> Optional[List]:
             fusable += 1
     if fusable < 2:
         return None
-    sig = tuple(p.statics for p in plans if p is not None)
+    unique: List = []
+    index_of: Dict[int, int] = {}
+    sig_parts = []
+    for p in plans:
+        if p is None:
+            continue
+        idxs = []
+        for a in p.args:
+            i = index_of.get(id(a))
+            if i is None:
+                i = len(unique)
+                index_of[id(a)] = i
+                unique.append(a)
+            idxs.append(i)
+        sig_parts.append((p.statics, tuple(idxs)))
+    sig = tuple(sig_parts)
     runner = _get_runner(sig)
-    outs = runner(tuple(p.args for p in plans if p is not None))
+    outs = runner(tuple(unique))
     results: List = []
     it = iter(outs)
     for e, p in zip(exprs, plans):

@@ -319,6 +319,9 @@ def _csne_refine_blocks(A, beta, Xp, yp, wf, block_group, num_groups, alpha):
     Runs only on flagged batches via lax.cond — well-conditioned queries
     never pay for the extra row passes. Reference default for this case is
     column-pivoted QR (src/least_squares.rs:193-231)."""
+    from ..ops.linalg import psd_solver
+
+    solve = psd_solver(A)  # factor A once; 4 sweeps reuse the factor
     for _ in range(4):
         bb = jnp.take(beta, block_group, axis=0)
         resid = (yp - _block_preds(Xp, bb)) * wf
@@ -329,7 +332,7 @@ def _csne_refine_blocks(A, beta, Xp, yp, wf, block_group, num_groups, alpha):
             block_group,
             num_segments=num_groups,
         )
-        beta = beta + solve_psd(A, Xtr - jnp.asarray(alpha, F64) * beta)
+        beta = beta + solve(Xtr - jnp.asarray(alpha, F64) * beta)
     return beta
 
 
@@ -1004,12 +1007,15 @@ def _solve_ne_refined_rows(
     wf = w.astype(F64)
 
     def refine(b):
+        from ..ops.linalg import psd_solver
+
+        solve = psd_solver(A)  # factor once; sweeps reuse the factor
         for _ in range(4):
             resid = (y - (X * jnp.take(b, gids, axis=0)).sum(axis=1)) * wf
             Xtr = jax.ops.segment_sum(
                 X * resid[:, None], gids, num_segments=num_groups
             )
-            b = b + solve_psd(A, Xtr - jnp.asarray(alpha, F64) * b)
+            b = b + solve(Xtr - jnp.asarray(alpha, F64) * b)
         return b
 
     if force_refine:

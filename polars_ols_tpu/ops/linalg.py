@@ -52,8 +52,8 @@ def eigh_pinv_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float | None = None) 
 _UNROLL_MAX_K = 32
 
 
-def _chol_solve_vectorized(A: jnp.ndarray, rhs: jnp.ndarray):
-    """Right-looking batched Cholesky solve with O(K) fused ops.
+def chol_factor_vectorized(A: jnp.ndarray):
+    """Right-looking batched Cholesky factorization with O(K) fused ops.
 
     The fully unrolled variant emits ~K^2 scalar-lane ops; on backends with
     high per-op launch cost that dominates. This version keeps whole
@@ -61,11 +61,8 @@ def _chol_solve_vectorized(A: jnp.ndarray, rhs: jnp.ndarray):
     one sqrt per elimination step (~4K ops total), all shaped [batch, K, K]
     so XLA fuses them into a handful of kernels.
 
-    Args:
-        A: [..., K, K] symmetric.
-        rhs: [..., K, M].
-    Returns:
-        (solution [..., K, M], ok [...] bool finite-factor lanes)
+    Returns (L [..., K, K] lower triangular — NaN columns on non-PD lanes,
+    ok [...] bool finite-factor lanes).
     """
     K = A.shape[-1]
     S = A
@@ -79,7 +76,14 @@ def _chol_solve_vectorized(A: jnp.ndarray, rhs: jnp.ndarray):
         S = S - col[..., :, None] * col[..., None, :]
     L = jnp.stack(L_cols, axis=-1)  # [..., K, K] lower triangular
     ok = jnp.isfinite(L).all(axis=(-2, -1))
+    return L, ok
 
+
+def chol_substitute_vectorized(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Forward + back substitution against a batched lower factor (the
+    substitution half of `_chol_solve_vectorized`; reusable for repeated
+    right-hand sides against one factorization)."""
+    K = L.shape[-1]
     # forward substitution: L z = rhs
     z = rhs
     zs = []
@@ -95,7 +99,20 @@ def _chol_solve_vectorized(A: jnp.ndarray, rhs: jnp.ndarray):
         xj = x[..., j, :] / L[..., j, j][..., None]
         xs[j] = xj
         x = x - L[..., j, :][..., :, None] * xj[..., None, :]
-    return jnp.stack(xs, axis=-2), ok
+    return jnp.stack(xs, axis=-2)
+
+
+def _chol_solve_vectorized(A: jnp.ndarray, rhs: jnp.ndarray):
+    """Batched Cholesky solve: `chol_factor_vectorized` + substitution.
+
+    Args:
+        A: [..., K, K] symmetric.
+        rhs: [..., K, M].
+    Returns:
+        (solution [..., K, M], ok [...] bool finite-factor lanes)
+    """
+    L, ok = chol_factor_vectorized(A)
+    return chol_substitute_vectorized(L, rhs), ok
 
 
 def _chol_solve_unrolled(A: jnp.ndarray, rhs: jnp.ndarray):
@@ -153,19 +170,59 @@ def _chol_solve_unrolled(A: jnp.ndarray, rhs: jnp.ndarray):
     return jnp.stack(x, axis=-2), ok
 
 
+def chol_factor(A: jnp.ndarray):
+    """(L, ok): the vectorized column recurrence at small static K, the
+    batched Cholesky custom call otherwise."""
+    if A.shape[-1] <= _UNROLL_MAX_K:
+        return chol_factor_vectorized(A)
+    L = jnp.linalg.cholesky(A)
+    return L, jnp.isfinite(L).all(axis=(-2, -1))
+
+
+def psd_solver(A: jnp.ndarray):
+    """Factor A ONCE and return `solve(b)` for repeated right-hand sides.
+
+    Iterative-refinement loops (CSNE sweeps, engine/fit.py) solve against
+    the same normal matrix several times; re-running `solve_psd` per sweep
+    re-factorizes A each time — at K=100 that is 4 extra emulated-f64
+    Cholesky factorizations per query. Failed (non-PD) lanes take the
+    eigh-pinv fallback on every call, under `lax.cond` exactly like
+    `solve_psd` (the factor is identity-substituted on those lanes so the
+    substitution stays finite)."""
+    k = A.shape[-1]
+    L, ok = chol_factor(A)
+    Ls = jnp.where(ok[..., None, None], L, jnp.eye(k, dtype=A.dtype))
+    small = k <= _UNROLL_MAX_K
+
+    def solve(b: jnp.ndarray) -> jnp.ndarray:
+        rhs = b[..., None] if b.ndim == A.ndim - 1 else b
+        if small:
+            sol = chol_substitute_vectorized(Ls, rhs)
+        else:
+            sol = jax.scipy.linalg.cho_solve((Ls, True), rhs)
+        sol = jnp.where(jnp.isfinite(sol), sol, 0.0)
+
+        def with_fallback(_):
+            fb = eigh_pinv_solve(A, rhs)
+            return jnp.where(ok[..., None, None], sol, fb)
+
+        out = lax.cond(ok.all(), lambda _: sol, with_fallback, operand=None)
+        return out[..., 0] if b.ndim == A.ndim - 1 else out
+
+    return solve
+
+
 def _solve_psd_inner(A: jnp.ndarray, rhs: jnp.ndarray):
-    """Shared core of solve_psd/solve_psd_cond: returns (sol, ok, pivots)
-    where pivots are the Cholesky diagonal entries (NaN on failed lanes)."""
+    """Shared core of solve_psd/solve_psd_cond: returns (sol, ok, d2) where
+    d2 are the squared Cholesky pivots L_jj^2 (NaN on failed lanes) — the
+    conditioning estimate comes from the SAME factorization as the solve
+    (a second pivot pass used to cost an extra K=100 f64 factorization)."""
     k = A.shape[-1]
     if k <= _UNROLL_MAX_K:
-        sol, ok = _chol_solve_vectorized(A, rhs)
-        # _chol_solve_vectorized zeroes the strict upper triangle but keeps
-        # the diagonal in its stacked columns; recover pivots from A's
-        # factor via a second diagonal pass is wasteful — instead the
-        # vectorized factorization now returns them (see below).
+        L, ok = chol_factor_vectorized(A)
+        sol = chol_substitute_vectorized(L, rhs)
     else:
-        L = jnp.linalg.cholesky(A)
-        ok = jnp.isfinite(L).all(axis=(-2, -1))
+        L, ok = chol_factor(A)
         sol = jax.scipy.linalg.cho_solve(
             (L, True), jnp.where(ok[..., None, None], rhs, 0.0)
         )
@@ -176,7 +233,8 @@ def _solve_psd_inner(A: jnp.ndarray, rhs: jnp.ndarray):
         return jnp.where(ok[..., None, None], sol, fb)
 
     out = lax.cond(ok.all(), lambda _: sol, with_fallback, operand=None)
-    return out, ok
+    d2 = jnp.square(jnp.diagonal(L, axis1=-2, axis2=-1))
+    return out, ok, d2
 
 
 def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -190,7 +248,7 @@ def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     unrolled VPU factorization (no XLA custom call).
     """
     rhs = b[..., None] if b.ndim == A.ndim - 1 else b
-    out, _ = _solve_psd_inner(A, rhs)
+    out, _, _ = _solve_psd_inner(A, rhs)
     return out[..., 0] if b.ndim == A.ndim - 1 else out
 
 
@@ -214,18 +272,8 @@ def solve_psd_cond_ok(A: jnp.ndarray, b: jnp.ndarray):
 
     Returns (solution, cond_est [...], chol_ok [...]).
     """
-    k = A.shape[-1]
     rhs = b[..., None] if b.ndim == A.ndim - 1 else b
-    out, ok = _solve_psd_inner(A, rhs)
-    if k <= _UNROLL_MAX_K:
-        # one extra factorization-diag pass would be wasteful; derive the
-        # pivots from A's leading-submatrix determinant recurrence instead?
-        # Simpler and exact: rerun the pivot recurrence only (O(K) rank-1
-        # updates on the diagonal) — negligible next to the solve itself.
-        d2 = _chol_pivots_squared(A)
-    else:
-        L = jnp.linalg.cholesky(A)
-        d2 = jnp.square(jnp.diagonal(L, axis1=-2, axis2=-1))
+    out, ok, d2 = _solve_psd_inner(A, rhs)
     finite = jnp.isfinite(d2) & (d2 > 0)
     dmax = jnp.max(jnp.where(finite, d2, 0.0), axis=-1)
     dmin = jnp.min(jnp.where(finite, d2, jnp.inf), axis=-1)
@@ -234,23 +282,6 @@ def solve_psd_cond_ok(A: jnp.ndarray, b: jnp.ndarray):
     )
     sol = out[..., 0] if b.ndim == A.ndim - 1 else out
     return sol, cond_est, ok
-
-
-def _chol_pivots_squared(A: jnp.ndarray) -> jnp.ndarray:
-    """Squared Cholesky pivots d_j^2 = L_jj^2 for small static K, via the
-    same right-looking recurrence as `_chol_solve_vectorized` but touching
-    whole columns only (no substitution passes)."""
-    K = A.shape[-1]
-    S = A
-    d2 = []
-    for j in range(K):
-        dj2 = S[..., j, j]
-        d2.append(dj2)
-        col = S[..., :, j] * (jnp.arange(K) >= j)
-        S = S - (col[..., :, None] * col[..., None, :]) / jnp.where(
-            dj2 == 0, 1.0, dj2
-        )[..., None, None]
-    return jnp.stack(d2, axis=-1)
 
 
 def _lu_solve_vectorized(A: jnp.ndarray, rhs: jnp.ndarray):

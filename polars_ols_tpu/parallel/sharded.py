@@ -179,11 +179,15 @@ def fit_moments_sharded(
     wp = _pad_to(w.astype(bool), Np)  # padded rows -> False -> zero moments
     gp = _pad_to(jnp.asarray(gids, dtype=jnp.int32), Np)
     Xpredp = Xp if X_pred is None else _pad_to(X_pred.astype(F64), Np)
-    beta, preds = _fit_moments_program(
-        Xp, yp, wp, gp, Xpredp, jnp.asarray(float(alpha), F64),
+    args = (Xp, yp, wp, gp, Xpredp, jnp.asarray(float(alpha), F64))
+    statics = dict(
         mesh=mesh, row_axes=row_axes, Gp=Gp, cd_params=cd_params,
         force_refine=force_refine, lu=lu,
     )
+    from .introspect import record_program
+
+    record_program("fit_moments", _fit_moments_program, args, statics)
+    beta, preds = _fit_moments_program(*args, **statics)
     return beta[:num_groups], preds[:N]
 
 
@@ -235,7 +239,11 @@ def _fit_moments_program(
 
             def refine(b):
                 # distributed CSNE sweeps (see engine/fit.py): the residual
-                # row pass is shard-local, X'r partials psum_scatter-merge
+                # row pass is shard-local, X'r partials psum_scatter-merge;
+                # the local normal matrix factors once for all sweeps
+                from ..ops.linalg import psd_solver
+
+                solve = psd_solver(A)
                 for _ in range(4):
                     bg = lax.all_gather(b, row_axes, axis=0, tiled=True)
                     resid = (
@@ -247,7 +255,7 @@ def _fit_moments_program(
                         ),
                         row_axes, scatter_dimension=0, tiled=True,
                     )
-                    b = b + solve_psd(A, Xtr - jnp.asarray(alpha, F64) * b)
+                    b = b + solve(Xtr - jnp.asarray(alpha, F64) * b)
                 return b
 
             if lu:
@@ -305,10 +313,16 @@ def statistics_moments_sharded(
     yp = _pad_to(y.astype(F64), Np)
     wp = _pad_to(w.astype(bool), Np)
     gp = _pad_to(jnp.asarray(gids, dtype=jnp.int32), Np)
-    beta, rss, sae, sst, counts, se, tv, pv = _statistics_moments_program(
-        Xp, yp, wp, gp, jnp.asarray(float(alpha), F64),
+    args = (Xp, yp, wp, gp, jnp.asarray(float(alpha), F64))
+    statics = dict(
         mesh=mesh, row_axes=row_axes, Gp=Gp, cd_params=cd_params,
         ridge=float(alpha) > 0.0,
+    )
+    from .introspect import record_program
+
+    record_program("statistics_moments", _statistics_moments_program, args, statics)
+    beta, rss, sae, sst, counts, se, tv, pv = _statistics_moments_program(
+        *args, **statics
     )
     n_safe = jnp.maximum(counts, 1.0)
     sl = slice(None, num_groups)
@@ -521,10 +535,12 @@ def shuffle_rows_to_groups(
     ridx = jnp.arange(Np, dtype=F64)
     if isinstance(row_axes, list):
         row_axes = tuple(row_axes)
-    Xg, yg, vg = _shuffle_program(
-        Xp, yp, wp, gp, present, ridx,
-        mesh=mesh, row_axes=row_axes, Gp=Gp, C=C, R=R,
-    )
+    args = (Xp, yp, wp, gp, present, ridx)
+    statics = dict(mesh=mesh, row_axes=row_axes, Gp=Gp, C=C, R=R)
+    from .introspect import record_program
+
+    record_program("shuffle_rows", _shuffle_program, args, statics)
+    Xg, yg, vg = _shuffle_program(*args, **statics)
     return Xg, yg, vg, num_groups
 
 
@@ -630,5 +646,8 @@ def solve_groups_sharded(mesh: Mesh, solver, arrays, group_axes=None, **solver_k
     fn = jax.jit(
         partial(solver, **solver_kwargs), out_shardings=out_shardings
     )
+    from .introspect import record_program
+
+    record_program("groups_sharded", fn, tuple(placed), {})
     out = fn(*placed)
     return out[:G]
