@@ -53,9 +53,30 @@ class _Plan:
 def _apply_one(statics: tuple, args: tuple):
     """Traced body for one planned query: the same inner kernels the eager
     path dispatches, inlined into the outer program."""
-    from .fit import _blocks_fit_kernel, _blocks_fit_kernel_ozaki, _svd_fit_kernel
+    from .fit import (
+        _blocks_fit_kernel,
+        _blocks_fit_kernel_ozaki,
+        _blocks_statistics_kernel,
+        _moving_query_kernel,
+        _svd_fit_kernel,
+    )
 
     kind = statics[0]
+    if kind == "stats":
+        (_, G, cd_params, ridge) = statics
+        Zp, digits, scales, wp, bg, alpha = args
+        return _blocks_statistics_kernel(
+            Zp, digits, scales, wp, bg, G, alpha,
+            cd_params=cd_params, ridge=ridge,
+        )
+    if kind == "moving":
+        (_, model, params, k, nan_to_null, lazy, pair) = statics
+        Xp, yp, vp, unpad_idx, predict_valid, inv_w = args
+        return _moving_query_kernel(
+            Xp, yp, vp, unpad_idx, predict_valid, inv_w,
+            model=model, params=params, k=k, nan_to_null=nan_to_null,
+            lazy=lazy, pair=pair,
+        )
     if kind == "blocks":
         (_, G, want, cd_params, force_refine, svd_guard, lu, ozaki, post) = statics
         if ozaki:
@@ -171,11 +192,16 @@ def _plan_expr(df, expr) -> Optional[_Plan]:
         core = core.right
     if not isinstance(core, LeastSquaresExpr):
         return None
-    if (
-        core.function_name != "least_squares"
-        or core.multi_target
-        or core.mode not in ("predictions", "coefficients")
-        or (resid_target is not None and core.mode != "predictions")
+    moving = core.function_name in (
+        "recursive_least_squares", "rolling_least_squares"
+    )
+    if core.multi_target or (resid_target is not None and core.mode != "predictions"):
+        return None
+    if moving:
+        if core.mode != "predictions" or resid_target is not None:
+            return None
+    elif core.function_name != "least_squares" or core.mode not in (
+        "predictions", "coefficients", "statistics"
     ):
         return None
 
@@ -205,6 +231,11 @@ def _plan_expr(df, expr) -> Optional[_Plan]:
         return None  # the eager path routes these through the sharded engine
     mode = core.mode
     out_name = target.name
+    if moving:
+        return _plan_moving(
+            core, kwargs, target, feat_series, weights, layout, G, k, alias,
+            out_name, policy,
+        )
     alpha = jnp.asarray(float(kwargs.alpha or 0.0), dtype=F64)
     method = _resolve_method(layout, kwargs, k)
     names = [s.name for s in feat_series]
@@ -226,6 +257,34 @@ def _plan_expr(df, expr) -> Optional[_Plan]:
             return None
         resid_vals = jnp.asarray(t.values, dtype=F64)
 
+    cd_params = None
+    if method in ("cd", "cd_active_set"):
+        cd_params = (
+            float(0.5 if kwargs.l1_ratio is None else kwargs.l1_ratio),
+            int(kwargs.max_iter or 1000),
+            float(kwargs.tol if kwargs.tol is not None else 1e-5),
+            bool(kwargs.positive),
+            method == "cd_active_set",
+        )
+
+    if mode == "statistics":
+        if method not in ("chol", "lu", "qr", "cd", "cd_active_set"):
+            return None  # explicit-svd statistics: general eager path
+        Zp, wp, _, block_group, digits, scales = _blocks_cached(
+            layout, vals, valid, policy
+        )
+        statics = ("stats", G, cd_params, float(kwargs.alpha or 0.0) > 0.0)
+        args = (Zp, digits, scales, wp, block_group, alpha)
+
+        def wrap_stats(out, *, names=names, layout=layout,
+                       layout_in=layout_in, alias=alias):
+            from .fit import _statistics_series
+
+            s = _statistics_series(dict(out), names, layout, layout_in)
+            return s.alias(alias) if alias else s
+
+        return _Plan(statics, args, wrap_stats)
+
     svd_single = (
         method == "svd"
         and G == 1
@@ -238,15 +297,6 @@ def _plan_expr(df, expr) -> Optional[_Plan]:
             return None
         force_refine = method in ("qr", "svd")
         lu = method == "lu"
-        cd_params = None
-        if method in ("cd", "cd_active_set"):
-            cd_params = (
-                float(0.5 if kwargs.l1_ratio is None else kwargs.l1_ratio),
-                int(kwargs.max_iter or 1000),
-                float(kwargs.tol if kwargs.tol is not None else 1e-5),
-                bool(kwargs.positive),
-                method == "cd_active_set",
-            )
         r_cap = _split_layout(layout)[1].shape[1]
         Zp, wp, predict_valid, block_group, digits, scales = _blocks_cached(
             layout, vals, valid, policy
@@ -344,6 +394,83 @@ def _plan_expr(df, expr) -> Optional[_Plan]:
         return _Plan(statics, args, wrap)
 
     return None
+
+
+def _plan_moving(core, kwargs, target, feat_series, weights, layout, G, k,
+                 alias, out_name, policy) -> Optional[_Plan]:
+    """Plan an RLS/rolling predictions query for fusion: mirrors the eager
+    moving fast path (one `_moving_query_kernel` on the cached padded
+    layout); anything off that path (coefficients mode, classic blocked
+    kernels, sharded runs) falls back to eager."""
+    from ..ops.moving import lanes_applicable
+    from .fit import _moving_cached, _stack_cached, _weighted_stack_cached
+
+    is_rls = core.function_name == "recursive_least_squares"
+    inv_w = None
+    if weights is not None:
+        vals_m, valid_m, _, inv_w = _weighted_stack_cached(
+            target, feat_series, weights
+        )
+    else:
+        vals_m, valid_m = _stack_cached(target, feat_series)
+    Xp, yp, vp, predict_valid = _moving_cached(layout, vals_m, valid_m, policy)
+    R_pad = Xp.shape[1]
+    use_lanes = CONFIG.moving_lanes and lanes_applicable(
+        G, R_pad, k,
+        kwargs.half_life if is_rls else None,
+        rolling=not is_rls,
+    )
+    shard_ok = (
+        CONFIG.auto_shard and jax.device_count() > 1 and use_lanes
+        and G >= jax.device_count()
+    )
+    if not use_lanes or shard_ok:
+        return None
+    if is_rls:
+        # predictions quirk parity: initial_state_mean is ignored
+        # (reference src/expressions.rs:624-646 passes None)
+        model_params = (
+            kwargs.half_life,
+            float(
+                10.0
+                if kwargs.initial_state_covariance is None
+                else kwargs.initial_state_covariance
+            ),
+            None,
+        )
+    else:
+        window_i = int(kwargs.window_size)
+        mp = kwargs.min_periods
+        positional_q = policy == "drop_window" or (
+            valid_m is None and (mp is None or mp <= window_i)
+        )
+        model_params = (
+            window_i, mp, float(kwargs.alpha or 0.0), positional_q,
+        )
+    lazy_out = G > 1 and CONFIG.lazy_row_order and inv_w is None
+    unpad_idx = layout.device_unpad(R_pad) if G > 1 else None
+    statics = (
+        "moving", "rls" if is_rls else "rolling", model_params, k,
+        not is_rls, lazy_out, CONFIG.pair_gather,
+    )
+    args = (Xp, yp, vp, unpad_idx, predict_valid, inv_w)
+
+    def wrap(out, *, out_name=out_name, lazy=lazy_out, unpad_idx=unpad_idx,
+             alias=alias):
+        from ..series import BlockPermuted, Series
+
+        flat, validity = out
+        if lazy:
+            s = Series(
+                out_name,
+                BlockPermuted(flat, unpad_idx, pair=CONFIG.pair_gather),
+                validity,
+            )
+        else:
+            s = Series(out_name, flat, validity)
+        return s.alias(alias) if alias else s
+
+    return _Plan(statics, args, wrap)
 
 
 def _wrap_blocks(out, want, names, out_name, predict_valid, layout, r_cap,

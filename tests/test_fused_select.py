@@ -176,6 +176,77 @@ def test_fused_single_fit_falls_back(df):
     assert out.columns == ["g", "a"]
 
 
+def test_fused_statistics(df):
+    ls = col("y").least_squares
+    feats = [col(f"x{i+1}") for i in range(5)]
+    exprs = (
+        ls.ols(*feats, mode="statistics").alias("s"),
+        ls.ridge(*feats, alpha=0.1).alias("p"),
+    )
+    fused = df.select(*exprs)
+    CONFIG.fused_select = False
+    try:
+        eager = df.select(*exprs)
+    finally:
+        CONFIG.fused_select = True
+    for key in ("r2", "mae", "coefficients", "standard_errors", "p_values"):
+        a = np.asarray(fused["s"].arrays[key])
+        b = np.asarray(eager["s"].arrays[key])
+        assert np.allclose(a, b, atol=1e-12, equal_nan=True), key
+    assert np.allclose(fused["p"].to_numpy(), eager["p"].to_numpy(), atol=1e-12)
+
+
+def test_fused_grouped_statistics(df):
+    ls = col("y").least_squares
+    feats = [col(f"x{i+1}") for i in range(3)]
+    exprs = (
+        ls.ols(*feats, mode="statistics").over("g").alias("s"),
+        ls.ols(*feats).over("g").alias("p"),
+    )
+    fused = df.select(*exprs)
+    CONFIG.fused_select = False
+    try:
+        eager = df.select(*exprs)
+    finally:
+        CONFIG.fused_select = True
+    for key in ("r2", "coefficients", "t_values"):
+        a = np.asarray(fused["s"].arrays[key])
+        b = np.asarray(eager["s"].arrays[key])
+        assert np.allclose(a, b, atol=1e-12, equal_nan=True), key
+
+
+def test_fused_moving(df):
+    ls = col("y").least_squares
+    feats = [col(f"x{i+1}") for i in range(3)]
+    _compare(
+        df,
+        ls.rls(*feats, half_life=30.0).alias("rls"),
+        ls.rolling_ols(*feats, window_size=60).alias("roll"),
+        ls.expanding_ols(*feats).alias("exp"),
+        ls.ols(*feats).alias("static"),
+    )
+
+
+def test_fused_moving_grouped(df):
+    ls = col("y").least_squares
+    feats = [col(f"x{i+1}") for i in range(2)]
+    _compare(
+        df,
+        ls.rls(*feats, half_life=20.0).over("g").alias("rls"),
+        ls.rolling_ols(*feats, window_size=30).over("g").alias("roll"),
+    )
+
+
+def test_fused_moving_wls(df):
+    ls = col("y").least_squares
+    feats = [col(f"x{i+1}") for i in range(2)]
+    _compare(
+        df,
+        ls.rls(*feats, half_life=20.0, sample_weights=col("w")).alias("a"),
+        ls.rolling_ols(*feats, window_size=40, sample_weights=col("w")).alias("b"),
+    )
+
+
 def test_fused_program_reuse(df):
     # same select twice: second call reuses the cached outer program
     from polars_ols_tpu.engine import batch
