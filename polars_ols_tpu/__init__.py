@@ -36,6 +36,7 @@ from .least_squares import (
 )
 from .namespace import LeastSquares
 from .series import ObjectSeries, Series, StructSeries
+from .warmup import warmup
 
 __version__ = "0.1.0"
 
@@ -54,6 +55,7 @@ __all__ = [
     "concat",
     "lit",
     "struct",
+    "warmup",
     "compute_least_squares",
     "compute_least_squares_from_formula",
     "compute_multi_target_least_squares",

@@ -328,10 +328,35 @@ class DataFrame:
             [c.gather(np.sort(idx)) for c in self._columns.values()]
         )
 
-    def sort(self, by: Union[str, List[str]]) -> "DataFrame":
-        by = [by] if isinstance(by, str) else by
-        ks = self._key_array(by)
-        order = np.argsort(ks, kind="stable")
+    def sort(
+        self,
+        by: Union[str, List[str]],
+        descending: Union[bool, List[bool]] = False,
+    ) -> "DataFrame":
+        """Stable multi-key sort; ``descending`` may be a single bool or a
+        per-key list (polars signature). NaN keys sort last in either
+        direction, matching numpy's argsort placement."""
+        by = [by] if isinstance(by, str) else list(by)
+        desc = (
+            [descending] * len(by)
+            if isinstance(descending, bool)
+            else list(descending)
+        )
+        assert len(desc) == len(by), "descending must match the number of sort keys"
+        keys = []
+        for k, d in zip(by, desc):
+            v = np.asarray(self.get_column(k).to_numpy())
+            if v.dtype == object or v.dtype.kind in "US":
+                _, v = np.unique(v, return_inverse=True)  # dense rank codes
+            if d:
+                if v.dtype.kind == "b":
+                    v = ~v
+                elif v.dtype.kind == "u":
+                    v = -v.astype(np.int64)
+                else:
+                    v = -v
+            keys.append(v)
+        order = np.lexsort(keys[::-1])  # lexsort's primary key is the LAST array
         return DataFrame._from_columns([c.gather(order) for c in self._columns.values()])
 
     def _join_codes(self, other: "DataFrame", on: List[str]):
@@ -366,12 +391,27 @@ class DataFrame:
             combined = _factorize_numeric(combined)
         return combined[: self.height], combined[self.height :]
 
-    def join(self, other: "DataFrame", on: Union[str, List[str]], how: str = "inner") -> "DataFrame":
-        """Vectorized hash join (inner / left): native O(n+m) hash codes +
-        counting-sort positions; generic keys (object / NaN) fall back to
-        sort-merge. No per-row Python loops either way."""
-        assert how in ("inner", "left"), how
-        on = [on] if isinstance(on, str) else on
+    def join(
+        self,
+        other: "DataFrame",
+        on: Union[str, List[str], None] = None,
+        how: str = "inner",
+    ) -> "DataFrame":
+        """Vectorized hash join: native O(n+m) hash codes + counting-sort
+        positions; generic keys (object / NaN) fall back to sort-merge. No
+        per-row Python loops either way. ``how`` covers inner / left /
+        full (alias outer, key columns coalesced) / semi / anti / cross."""
+        assert how in ("inner", "left", "full", "outer", "semi", "anti", "cross"), how
+        if how == "cross":
+            assert on is None, "cross join takes no key columns"
+            n, m = self.height, len(other)
+            li = np.repeat(np.arange(n), m)
+            ri = np.tile(np.arange(m), n)
+            cols = [c.gather(li) for c in self._columns.values()]
+            for k, c in other._columns.items():
+                cols.append(c.gather(ri).alias(k + "_right" if k in self._columns else k))
+            return DataFrame._from_columns(cols)
+        on = [on] if isinstance(on, str) else list(on)
         fast = self._join_codes(other, on) if self.height and len(other) else None
         if fast is not None:
             lcode, rcode = fast
@@ -390,6 +430,38 @@ class DataFrame:
             r_sorted = rcode[r_order]
             starts = np.searchsorted(r_sorted, lcode, "left")
             counts = np.searchsorted(r_sorted, lcode, "right") - starts
+        if how == "semi":
+            return self._take_rows(np.where(counts > 0)[0])
+        if how == "anti":
+            return self._take_rows(np.where(counts == 0)[0])
+        if how in ("full", "outer"):
+            out = self._join_with_positions(other, on, "left", counts, starts, r_order)
+            # right rows whose key never appears on the left, appended with
+            # nulls in the left-only columns and coalesced key values
+            if len(rcode):
+                l_present = np.isin(rcode, lcode) if fast is None else (
+                    np.bincount(lcode, minlength=int(rcode.max(initial=-1)) + 1)[rcode] > 0
+                )
+            else:
+                l_present = np.zeros(0, dtype=bool)
+            extra_r = np.where(~l_present)[0]
+            if len(extra_r) == 0:
+                return out
+            cols2: List[AnySeries] = []
+            for k, c in self._columns.items():
+                if k in on:
+                    cols2.append(other.get_column(k).gather(extra_r).alias(k))
+                else:
+                    cols2.append(_null_column(c, len(extra_r)))
+            for k, c in other._columns.items():
+                if k in on:
+                    continue
+                name = k + "_right" if k in self._columns else k
+                cols2.append(c.gather(extra_r).alias(name))
+            return concat([out, DataFrame._from_columns(cols2)])
+        return self._join_with_positions(other, on, how, counts, starts, r_order)
+
+    def _join_with_positions(self, other, on, how, counts, starts, r_order) -> "DataFrame":
         if how == "left":
             matched = counts > 0
             counts = np.maximum(counts, 1)  # unmatched keep one null row
@@ -622,7 +694,18 @@ class LazyFrame:
 
 
 def concat(frames: List[DataFrame], how: str = "vertical", rechunk: bool = True) -> DataFrame:
-    assert how == "vertical"
+    assert how in ("vertical", "horizontal"), how
+    if how == "horizontal":
+        heights = {f.height for f in frames}
+        assert len(heights) == 1, f"horizontal concat requires equal heights, got {heights}"
+        cols: List[AnySeries] = []
+        seen: set = set()
+        for f in frames:
+            for name, c in f._columns.items():
+                assert name not in seen, f"duplicate column {name!r} in horizontal concat"
+                seen.add(name)
+                cols.append(c)
+        return DataFrame._from_columns(cols)
     names = frames[0].columns
     cols: List[AnySeries] = []
     for name in names:
@@ -648,6 +731,17 @@ def concat(frames: List[DataFrame], how: str = "vertical", rechunk: bool = True)
             valid = jnp.concatenate([p.validity if p.validity is not None
                                      else jnp.ones_like(p.values, dtype=bool) for p in parts], axis=0)
             cols.append(StructSeries(name, parts[0].field_names, vals, valid))
+        elif isinstance(parts[0], StatisticsSeries):
+            assert all(
+                isinstance(p, StatisticsSeries)
+                and p.feature_names == parts[0].feature_names
+                for p in parts
+            ), "statistics columns with differing features cannot be concatenated"
+            arrays = {
+                k: jnp.concatenate([p.arrays[k] for p in parts], axis=0)
+                for k in parts[0].SCALAR_FIELDS + parts[0].LIST_FIELDS
+            }
+            cols.append(StatisticsSeries(name, parts[0].feature_names, arrays))
         else:
             items: list = []
             for p in parts:

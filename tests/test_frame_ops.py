@@ -313,3 +313,107 @@ def test_series_scalar_reductions():
     assert s.std() == pytest.approx(np.std([1, 2, 4], ddof=1))
     empty = pot.Series("e", np.asarray([np.nan]), np.asarray([False]))
     assert empty.sum() == 0.0 and empty.mean() is None and empty.max() is None
+
+
+def test_sort_descending_single_and_multi():
+    df = pot.DataFrame(
+        {
+            "g": [1.0, 2.0, 1.0, 2.0, 1.0],
+            "v": [3.0, 1.0, 2.0, 5.0, 4.0],
+        }
+    )
+    out = df.sort("v", descending=True)
+    np.testing.assert_allclose(out["v"].to_numpy(), [5.0, 4.0, 3.0, 2.0, 1.0])
+    # per-key directions: g ascending, v descending within g
+    out2 = df.sort(["g", "v"], descending=[False, True])
+    np.testing.assert_allclose(out2["g"].to_numpy(), [1, 1, 1, 2, 2])
+    np.testing.assert_allclose(out2["v"].to_numpy(), [4.0, 3.0, 2.0, 5.0, 1.0])
+    # string keys sort by rank in either direction
+    df3 = pot.DataFrame({"s": ["b", "a", "c"], "v": [1.0, 2.0, 3.0]})
+    assert df3.sort("s", descending=True)["s"].to_list() == ["c", "b", "a"]
+
+
+def test_sort_descending_nans_last_and_stable():
+    df = pot.DataFrame({"v": [np.nan, 1.0, 3.0, 2.0], "i": [0.0, 1.0, 2.0, 3.0]})
+    out = df.sort("v", descending=True)
+    np.testing.assert_allclose(out["v"].to_numpy()[:3], [3.0, 2.0, 1.0])
+    assert np.isnan(out["v"].to_numpy()[3])
+    # stability: ties keep input order
+    df2 = pot.DataFrame({"k": [1.0, 1.0, 0.0, 1.0], "i": [0.0, 1.0, 2.0, 3.0]})
+    np.testing.assert_allclose(
+        df2.sort("k", descending=True)["i"].to_numpy(), [0.0, 1.0, 3.0, 2.0]
+    )
+
+
+def test_join_semi_anti():
+    left = pot.DataFrame({"k": [1.0, 2.0, 3.0, 2.0], "a": [10.0, 20.0, 30.0, 40.0]})
+    right = pot.DataFrame({"k": [2.0, 2.0, 9.0], "b": [-1.0, -2.0, -9.0]})
+    semi = left.join(right, on="k", how="semi")
+    assert semi.columns == ["k", "a"]  # left columns only
+    np.testing.assert_allclose(semi["a"].to_numpy(), [20.0, 40.0])
+    anti = left.join(right, on="k", how="anti")
+    np.testing.assert_allclose(anti["a"].to_numpy(), [10.0, 30.0])
+
+
+def test_join_full_coalesced():
+    left = pot.DataFrame({"k": [1.0, 2.0, 3.0], "a": [10.0, 20.0, 30.0]})
+    right = pot.DataFrame({"k": [2.0, 4.0], "b": [-2.0, -4.0]})
+    out = left.join(right, on="k", how="full").sort("k")
+    np.testing.assert_allclose(out["k"].to_numpy(), [1.0, 2.0, 3.0, 4.0])
+    assert out["a"].to_list() == [10.0, 20.0, 30.0, None]
+    assert out["b"].to_list() == [None, -2.0, None, -4.0]
+    # "outer" is an alias
+    out2 = left.join(right, on="k", how="outer")
+    assert out2.height == 4
+
+
+def test_join_full_no_unmatched_right_equals_left():
+    left = pot.DataFrame({"k": [1.0, 2.0], "a": [1.0, 2.0]})
+    right = pot.DataFrame({"k": [1.0, 2.0], "b": [9.0, 8.0]})
+    out = left.join(right, on="k", how="full")
+    lj = left.join(right, on="k", how="left")
+    assert out.height == lj.height
+    np.testing.assert_allclose(out["b"].to_numpy(), lj["b"].to_numpy())
+
+
+def test_join_cross():
+    left = pot.DataFrame({"a": [1.0, 2.0]})
+    right = pot.DataFrame({"b": [10.0, 20.0, 30.0]})
+    out = left.join(right, how="cross")
+    assert out.height == 6
+    np.testing.assert_allclose(out["a"].to_numpy(), [1, 1, 1, 2, 2, 2])
+    np.testing.assert_allclose(out["b"].to_numpy(), [10, 20, 30, 10, 20, 30])
+
+
+def test_concat_horizontal():
+    a = pot.DataFrame({"x": [1.0, 2.0]})
+    b = pot.DataFrame({"y": [3.0, 4.0], "z": [5.0, 6.0]})
+    out = pot.concat([a, b], how="horizontal")
+    assert out.columns == ["x", "y", "z"] and out.height == 2
+    with pytest.raises(AssertionError, match="duplicate column"):
+        pot.concat([a, a], how="horizontal")
+    with pytest.raises(AssertionError, match="equal heights"):
+        pot.concat([a, pot.DataFrame({"w": [1.0]})], how="horizontal")
+
+
+def test_concat_vertical_statistics_column():
+    rng = np.random.default_rng(11)
+    n = 120
+    df = pot.DataFrame(
+        {
+            "g": np.repeat([0.0, 1.0, 2.0], n // 3),
+            "x": rng.normal(size=n),
+            "y": rng.normal(size=n),
+        }
+    )
+    stats = df.select(
+        "g",
+        pot.col("y").least_squares.ols(pot.col("x"), mode="statistics").over("g"),
+    ).unique()
+    both = pot.concat([stats, stats])
+    assert both.height == 2 * stats.height
+    for field in ("r2", "coefficients"):
+        top = np.asarray(stats["statistics"].arrays[field])
+        cat = np.asarray(both["statistics"].arrays[field])
+        np.testing.assert_allclose(cat[: stats.height], top)
+        np.testing.assert_allclose(cat[stats.height:], top)
