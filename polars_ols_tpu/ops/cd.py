@@ -163,18 +163,17 @@ def _cd_cov_single_fista(
     tol: float,
     positive: bool,
 ) -> jnp.ndarray:
-    """Large-K solver: FISTA with adaptive restart on the covariance form,
-    polished by two exact cyclic-CD sweeps.
+    """Large-K solver: FISTA with adaptive restart on the covariance form.
 
     Minimizes the identical objective as `_cd_cov_single` (the reference's
     src/least_squares.rs:386-445, alpha scaled by n_valid) but advances with
     whole-vector proximal-gradient steps — one K x K matvec + soft-threshold
     per iteration — instead of K sequential coordinate updates per sweep.
     The elastic-net objective is convex (strongly so for l2 > 0), so both
-    iterations share their fixed points; the closing CD sweeps snap exact
-    coordinate-wise optimality (and exact zeros) at the reference's own
-    update rule. Inner stopping is 20x tighter than `tol` so the outer
-    `||w_sweep_delta|| < tol` contract is met at the polish step."""
+    iterations share their fixed points. Inner stopping is 20x tighter than
+    `tol`; the caller then snaps exact support-wise optimality with the
+    batched `_active_set_polish` (which replaced the earlier 2-sweep cyclic
+    polish — same fixed point, no K-deep sequential chain)."""
     K = XtX.shape[0]
     a = alpha * jnp.maximum(n_valid, 1.0)
     a_l1 = a * l1_ratio
@@ -211,16 +210,65 @@ def _cd_cov_single_fista(
     w, _, _, _, _ = lax.while_loop(
         cond, body, (w0, w0, jnp.asarray(1.0, F64), jnp.int32(0), jnp.asarray(jnp.inf, F64))
     )
-
-    # two exact cyclic sweeps at the reference's own coordinate update
-    update = _coord_update(XtX, Xty, a_l1, a_l2, positive)
-
-    def coord_body(j, w):
-        return w.at[j].set(update(j, w))
-
-    for _ in range(2):
-        w = lax.fori_loop(0, K, coord_body, w)
     return w
+
+
+def _active_set_polish(
+    XtX: jnp.ndarray,  # [G, K, K] f64
+    Xty: jnp.ndarray,  # [G, K]
+    a_l1: jnp.ndarray,  # [G] sample-scaled l1 strength
+    a_l2: jnp.ndarray,  # [G] sample-scaled l2 strength
+    w: jnp.ndarray,  # [G, K] FISTA iterate (exact zeros off-support)
+    positive: bool,
+) -> jnp.ndarray:
+    """Newton polish on the FISTA support: one batched PSD solve instead of
+    the 2K-link cyclic sweep chain.
+
+    On a fixed support A with signs s, the elastic-net optimum solves
+    ``(XtX_AA + a_l2 I) w_A = Xty_A - a_l1 s_A`` exactly (the stationarity
+    condition of the reference's objective, src/least_squares.rs:386-445,
+    with the soft-threshold subgradient resolved by s). The cyclic polish
+    sweeps this replaces are a K-step sequential dependency chain whose
+    wall-clock is per-op dispatch latency, not math (~65 us/link on the
+    benchmark backend — 200 links at K=100); the solve here is one batched
+    Cholesky. Round 1 solves on the FISTA support and zeroes any coordinate
+    whose solved sign contradicts its subgradient sign; a second round —
+    admitting inactive coordinates whose KKT residual ``|Xty - XtX w -
+    a_l2 w| > a_l1`` demands activation and re-solving — runs under a
+    scalar ``lax.cond`` only when round 1 actually changed the support
+    (FISTA at 20x-tight inner tol almost always identifies it exactly, and
+    on this backend each round costs ~4-5 ms of per-op dispatch latency).
+    Degenerate (rank-deficient lasso) supports take solve_psd's eigh-pinv
+    fallback lane-wise."""
+    from .linalg import solve_psd
+
+    K = XtX.shape[-1]
+    eye = jnp.eye(K, dtype=F64)
+    B = XtX + a_l2[:, None, None] * eye
+
+    def solve_on_support(w):
+        s = (w > 0.0).astype(F64) if positive else jnp.sign(w)
+        m = jnp.abs(s)
+        A = B * (m[:, :, None] * m[:, None, :])
+        A = A + eye * (1.0 - m)[:, :, None]  # identity rows off-support
+        rhs = (Xty - a_l1[:, None] * s) * m
+        w_new = solve_psd(A, rhs)
+        shrunk = (m > 0.0) & (s * w_new <= 0.0)
+        return jnp.where(shrunk, 0.0, w_new), shrunk.any()
+
+    w, any_shrunk = solve_on_support(w)
+    rho = Xty - (XtX * w[:, None, :]).sum(-1) - a_l2[:, None] * w
+    tol_pad = 1.0 + 1e-12
+    if positive:
+        viol = (w == 0.0) & (rho > a_l1[:, None] * tol_pad)
+    else:
+        viol = (w == 0.0) & (jnp.abs(rho) > a_l1[:, None] * tol_pad)
+
+    def second_round(w):
+        seeded = jnp.where(viol, jnp.sign(rho), w)  # admit with the KKT sign
+        return solve_on_support(seeded)[0]
+
+    return lax.cond(any_shrunk | viol.any(), second_round, lambda w: w, w)
 
 
 @partial(
@@ -256,12 +304,30 @@ def solve_elastic_net_cov(
     in per-coordinate op dispatch, not math. ``active_set`` always runs the
     cyclic form (the reference's active-set variant is defined by its
     coordinate update order, src/least_squares.rs:447-488)."""
+    XtX64 = XtX.astype(F64)
+    Xty64 = Xty.astype(F64)
+    nv64 = n_valid.astype(F64)
     if active_set:
         single = partial(_cd_cov_single, active_set=True)
     elif XtX.shape[-1] < _FISTA_MIN_K:
         single = _cd_cov_single
     else:
-        single = _cd_cov_single_fista
+        fn = partial(
+            _cd_cov_single_fista,
+            alpha=alpha,
+            l1_ratio=l1_ratio,
+            max_iter=max_iter,
+            tol=tol,
+            positive=positive,
+        )
+        w = jax.vmap(fn)(XtX64, Xty64, nv64)
+        a = alpha * jnp.maximum(nv64, 1.0)
+        # polish batched OUTSIDE the vmap: solve_psd's eigh-pinv fallback
+        # stays behind a scalar lax.cond (vmapping it would turn the cond
+        # into a select and run the eigh for every lane every time)
+        return _active_set_polish(
+            XtX64, Xty64, a * l1_ratio, a * (1.0 - l1_ratio), w, positive
+        )
     fn = partial(
         single,
         alpha=alpha,
@@ -270,7 +336,7 @@ def solve_elastic_net_cov(
         tol=tol,
         positive=positive,
     )
-    return jax.vmap(fn)(XtX.astype(F64), Xty.astype(F64), n_valid.astype(F64))
+    return jax.vmap(fn)(XtX64, Xty64, nv64)
 
 
 @partial(jax.jit, static_argnames=("max_iter", "tol", "positive"))

@@ -385,6 +385,37 @@ def test_elastic_net(n_features, sparsity, alpha, solve_method):
     assert np.allclose(predictions_1, predictions_2, rtol=1e-4, atol=1e-4)
 
 
+def test_elastic_net_positive_large_k():
+    """NNLS (positive=True) through the large-K FISTA + active-set-polish
+    path (K >= _FISTA_MIN_K): the polish solves on the nonnegative support
+    and must keep every coefficient >= 0 while matching sklearn."""
+    from sklearn.linear_model import ElasticNet
+
+    alpha = 0.3
+    df = _make_data(n_features=50, sparsity=0.5)
+    features = [c for c in df.columns if c != "y"]
+    x, y = _xy(df, features)
+    mdl = ElasticNet(
+        fit_intercept=False, alpha=alpha, l1_ratio=0.5, positive=True,
+        max_iter=1000, tol=1e-4,
+    )
+    mdl.fit(x, y)
+    coefs = df.select(
+        col("y").least_squares.elastic_net(
+            *[col(f) for f in features],
+            mode="coefficients",
+            l1_ratio=0.5,
+            alpha=alpha,
+            positive=True,
+            max_iter=1000,
+            tol=1e-4,
+        )
+    )["coefficients"].to_numpy()[0]
+    coefs = np.nan_to_num(coefs)  # null struct fields encode exact zeros
+    assert (coefs >= 0.0).all()
+    np.testing.assert_allclose(coefs, mdl.coef_, rtol=1e-3, atol=1e-4)
+
+
 def test_elastic_net_active_set_iterates():
     """solve_method='cd_active_set' reproduces the reference's active-set
     iterate sequence (src/least_squares.rs:447-488): a coordinate whose
