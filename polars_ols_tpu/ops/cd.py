@@ -238,13 +238,28 @@ def _active_set_polish(
     scalar ``lax.cond`` only when round 1 actually changed the support
     (FISTA at 20x-tight inner tol almost always identifies it exactly, and
     on this backend each round costs ~4-5 ms of per-op dispatch latency).
-    Degenerate (rank-deficient lasso) supports take solve_psd's eigh-pinv
-    fallback lane-wise."""
+    A monotone safeguard makes the polish never-worse lane-wise: the
+    result is kept only where it does not increase the elastic-net
+    objective over the incoming FISTA iterate. This is what protects the
+    wide underdetermined pure-lasso case (n << K, a_l2 = 0): the masked
+    system is rank-deficient there, its eigh-pinv least-squares solution
+    need not be a stationary point when the sign vector carries
+    small-coordinate errors, and the FISTA iterate itself is already the
+    better answer."""
     from .linalg import solve_psd
 
     K = XtX.shape[-1]
     eye = jnp.eye(K, dtype=F64)
     B = XtX + a_l2[:, None, None] * eye
+
+    def objective(w):  # [G] covariance-form EN objective (constant dropped)
+        Aw = (XtX * w[:, None, :]).sum(-1)
+        return (
+            0.5 * (w * Aw).sum(-1)
+            - (Xty * w).sum(-1)
+            + a_l1 * jnp.abs(w).sum(-1)
+            + 0.5 * a_l2 * (w * w).sum(-1)
+        )
 
     def solve_on_support(w):
         s = (w > 0.0).astype(F64) if positive else jnp.sign(w)
@@ -256,6 +271,7 @@ def _active_set_polish(
         shrunk = (m > 0.0) & (s * w_new <= 0.0)
         return jnp.where(shrunk, 0.0, w_new), shrunk.any()
 
+    w_in = w
     w, any_shrunk = solve_on_support(w)
     rho = Xty - (XtX * w[:, None, :]).sum(-1) - a_l2[:, None] * w
     tol_pad = 1.0 + 1e-12
@@ -268,7 +284,10 @@ def _active_set_polish(
         seeded = jnp.where(viol, jnp.sign(rho), w)  # admit with the KKT sign
         return solve_on_support(seeded)[0]
 
-    return lax.cond(any_shrunk | viol.any(), second_round, lambda w: w, w)
+    w = lax.cond(any_shrunk | viol.any(), second_round, lambda w: w, w)
+    # monotone safeguard: NaN objectives compare False and keep the FISTA w
+    better = objective(w) <= objective(w_in)
+    return jnp.where(better[:, None], w, w_in)
 
 
 @partial(
